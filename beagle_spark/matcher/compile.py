@@ -1,0 +1,276 @@
+"""Dictionary -> compiled, broadcast-able match program.
+
+Replaces the reference's Monitor setup + MonitorQuery compilation
+(reference: src/beagle/monitor.clj:27-71, src/beagle/phrases.clj:125-215).
+
+Driver-side: validate/normalize entries, expand synonyms, analyze each
+entry's text under its merged config, choose the query shape
+(exact/sloppy vs ordered-span vs fuzzy), and build a presearcher-style
+inverted index term -> query ids per analysis config (the Lucene Monitor
+candidate-pruning trick, SURVEY.md O1). The resulting CompiledDictionary
+is a plain picklable object, broadcast once to executors.
+
+Matching a document then costs:
+  tokenize once per distinct config (O2)
+  + posting-list counter sweep over distinct tokens (candidate pruning)
+  + full positional verification only for candidate queries.
+"""
+
+from __future__ import annotations
+
+import logging
+import uuid
+from dataclasses import dataclass, field
+
+from ..analysis import AnalysisConfig, Token, analyze, field_name, merge_config
+from ..schema import DictionaryEntry
+from .core import CompiledQuery, find_matches, normalize_slop
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class FieldProgram:
+    """All queries sharing one analysis config (== one Lucene field,
+    monitor.clj:48-59), with their candidate-pruning index."""
+
+    conf: AnalysisConfig
+    queries: list[CompiledQuery] = field(default_factory=list)
+    # presearcher: term -> tuple of query indexes into `queries`
+    postings: dict = field(default_factory=dict)
+    # number of DISTINCT terms query i requires present (non-fuzzy)
+    required: list = field(default_factory=list)
+    # query indexes that bypass the prefilter (fuzzy terms can't be
+    # pruned by exact term presence)
+    always: list = field(default_factory=list)
+
+    def finalize(self):
+        self.required = [0] * len(self.queries)
+        post: dict[str, list[int]] = {}
+        for i, q in enumerate(self.queries):
+            if q.fuzzy:
+                self.always.append(i)
+                continue
+            distinct = set(q.terms)
+            self.required[i] = len(distinct)
+            for t in distinct:
+                post.setdefault(t, []).append(i)
+        self.postings = {t: tuple(v) for t, v in post.items()}
+
+    def candidates(self, token_texts: set) -> list[int]:
+        counts: dict[int, int] = {}
+        postings = self.postings
+        for tok in token_texts:
+            for qi in postings.get(tok, ()):
+                counts[qi] = counts.get(qi, 0) + 1
+        req = self.required
+        out = [qi for qi, c in counts.items() if c == req[qi]]
+        if self.always:
+            out.extend(self.always)
+        return out
+
+
+@dataclass
+class CompiledDictionary:
+    """Broadcastable compiled dictionary: one FieldProgram per distinct
+    analysis config + the default annotation type."""
+
+    fields: list[FieldProgram]
+    type_name: str = "PHRASE"
+    merge_annotations: bool = False
+
+    @property
+    def n_queries(self) -> int:
+        return sum(len(f.queries) for f in self.fields)
+
+
+def _prepare_synonyms(query_id: str, entry: DictionaryEntry) -> list[DictionaryEntry]:
+    """Each synonym becomes its own query with a fresh UUID id, meta
+    synonym?=true + query-id=parent (reference: phrases.clj:125-140);
+    inherits every analysis/match option of the parent."""
+    out = []
+    for syn in entry.synonyms or []:
+        if syn is None or not str(syn).strip():
+            continue
+        d = entry.to_dict()
+        d["text"] = syn
+        d["id"] = str(uuid.uuid4())
+        d["synonyms"] = None
+        meta = dict(d.get("meta") or {})
+        meta["synonym?"] = "true"
+        meta["query-id"] = query_id
+        d["meta"] = meta
+        out.append(DictionaryEntry.from_dict(d))
+    return out
+
+
+def _compile_entry(
+    entry: DictionaryEntry,
+    default_conf: dict,
+    idx,
+) -> tuple[AnalysisConfig, CompiledQuery] | None:
+    conf = merge_config(entry.to_dict(), default_conf)
+    terms = tuple(t.text for t in analyze(entry.text or "", conf))
+    if not terms:
+        # 0-token entries discarded with a warning (phrases.clj:204)
+        logger.warning("Discarding dictionary entry (no tokens): %r", entry.text)
+        return None
+    query_id = entry.id if entry.id is not None else str(idx)
+
+    # slop/in_order cascade separately from analysis opts
+    # (phrases.clj:146-158)
+    slop_raw = entry.slop if entry.slop is not None else default_conf.get("slop")
+    in_order = entry.in_order if entry.in_order is not None else default_conf.get("in_order")
+    fuzzy = bool(entry.fuzzy)
+    slop = normalize_slop(slop_raw)
+
+    # query-shape choice (phrases.clj:169-176): ordered-span path when
+    # (slop>0 and in_order and >1 term) or fuzzy; fuzzy with in_order
+    # unspecified defaults to ORDERED.
+    span_path = (slop_raw is not None and slop > 0 and bool(in_order) and len(terms) > 1) or fuzzy
+    if span_path:
+        ordered = True if in_order else (in_order is None and fuzzy)
+    else:
+        ordered = False
+
+    meta = {str(k).lstrip(":"): str(v) for k, v in (entry.meta or {}).items()}
+    if span_path:
+        # "_in-order" flag kept in metadata (phrases.clj:192)
+        meta["_in-order"] = "true"
+
+    q = CompiledQuery(
+        query_id=str(query_id),
+        terms=terms,
+        field=field_name(conf),
+        slop=slop,
+        ordered=bool(ordered),
+        fuzzy=fuzzy,
+        fuzziness=entry.fuzziness if entry.fuzziness is not None else 1,
+        type=entry.type,
+        meta=meta,
+    )
+    return conf, q
+
+
+def compile_dictionary(
+    dictionary,
+    default_conf: dict | None = None,
+    type_name: str = "PHRASE",
+    merge_annotations: bool = False,
+) -> CompiledDictionary:
+    """dictionary: iterable of dicts or DictionaryEntry. Mirrors
+    dict-entries->monitor-queries (phrases.clj:206-215): ordinal default
+    ids are position-stable; synonyms appended right after their parent;
+    per-entry compile errors logged and skipped (monitor.clj:34-46)."""
+    default_conf = {
+        (k.replace("-", "_").rstrip("?")): v for k, v in (default_conf or {}).items()
+    }
+    by_conf: dict[AnalysisConfig, FieldProgram] = {}
+    entries = [
+        e if isinstance(e, DictionaryEntry) else DictionaryEntry.from_dict(e)
+        for e in dictionary
+    ]
+    for idx, entry in enumerate(entries):
+        query_id = entry.id if entry.id is not None else str(idx)
+        todo = [(entry, idx)]
+        todo.extend((syn, None) for syn in _prepare_synonyms(str(query_id), entry))
+        for ent, i in todo:
+            try:
+                compiled = _compile_entry(ent, default_conf, i)
+            except Exception:  # per-query failure isolation (monitor.clj:41-46)
+                logger.exception("Failed to compile dictionary entry %r", ent)
+                compiled = None
+            if compiled is None:
+                continue
+            conf, q = compiled
+            prog = by_conf.get(conf)
+            if prog is None:
+                prog = by_conf[conf] = FieldProgram(conf=conf)
+            prog.queries.append(q)
+
+    programs = list(by_conf.values())
+    for p in programs:
+        p.finalize()
+    return CompiledDictionary(
+        fields=programs, type_name=type_name, merge_annotations=merge_annotations
+    )
+
+
+def match_text(text: str, cd: CompiledDictionary) -> list[dict]:
+    """Match one document against the compiled dictionary; returns
+    annotation dicts (the reference's per-document `match`,
+    phrases.clj:228-234, incl. blank guard and post-processing)."""
+    if text is None or not text.strip():
+        return []
+    out: list[dict] = []
+    for prog in cd.fields:
+        tokens = analyze(text, prog.conf)
+        if not tokens:
+            continue
+        token_texts = {t.text for t in tokens}
+        for qi in prog.candidates(token_texts):
+            q = prog.queries[qi]
+            for begin, end in find_matches(tokens, q):
+                # post-process (phrases.clj:217-226): synonym hits
+                # re-attributed to the parent entry id; `_type` never
+                # leaks (we never put it in meta).
+                meta = q.meta
+                entry_id = meta.get("query-id", q.query_id) if meta else q.query_id
+                out.append(
+                    {
+                        "text": text[begin:end],
+                        "type": q.type if q.type is not None else cd.type_name,
+                        "dict_entry_id": entry_id,
+                        "meta": meta,
+                        "begin_offset": begin,
+                        "end_offset": end,
+                    }
+                )
+    if cd.merge_annotations:
+        out = merge_same_type_annotations(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Annotation merger (reference: src/beagle/annotation_merger.clj).
+# ---------------------------------------------------------------------------
+def _related(a: dict, b: dict) -> bool:
+    return a["begin_offset"] <= b["begin_offset"] <= a["end_offset"]
+
+
+def _nested(parent: dict, child: dict) -> bool:
+    return (
+        child["begin_offset"] >= parent["begin_offset"]
+        and child["end_offset"] <= parent["end_offset"]
+    )
+
+
+def merge_annotations(annotations: list[dict]) -> list[dict]:
+    """Linear sweep over begin-sorted annotations; overlapping/nested
+    runs collapse: strictly-nested child is absorbed by the parent,
+    otherwise the later-starting annotation wins
+    (annotation_merger.clj:10-24)."""
+    if not annotations:
+        return []
+    anns = sorted(annotations, key=lambda a: a["begin_offset"])
+    parent = anns[0]
+    result = []
+    for child in anns[1:]:
+        if _related(parent, child):
+            if not (_nested(parent, child) and not _nested(child, parent)):
+                parent = child
+        else:
+            result.append(parent)
+            parent = child
+    result.append(parent)
+    return result
+
+
+def merge_same_type_annotations(annotations: list[dict]) -> list[dict]:
+    by_type: dict = {}
+    for a in annotations:
+        by_type.setdefault(a["type"], []).append(a)
+    out: list[dict] = []
+    for anns in by_type.values():
+        out.extend(merge_annotations(anns))
+    return out
