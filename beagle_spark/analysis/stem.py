@@ -187,6 +187,213 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# Porter2 / Snowball English stemmer (pure Python). This is what Lucene's
+# SnowballProgram "English" runs — the reference's default `:english`
+# stemmer (text_analysis.clj:22). Algorithm: snowballstem.org/algorithms/
+# english/stemmer.html (public specification).
+# ---------------------------------------------------------------------------
+_P2_VOWELS = frozenset("aeiouy")
+_P2_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_P2_LI_ENDING = frozenset("cdeghkmnrt")
+_P2_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_P2_EXCEPTIONS2 = frozenset(
+    ["inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed"]
+)
+
+
+def _p2_is_vowel(w: str, i: int) -> bool:
+    return w[i] in _P2_VOWELS
+
+
+def _p2_regions(w: str) -> tuple[int, int]:
+    """(R1, R2) start indexes."""
+    n = len(w)
+    r1 = n
+    if w.startswith(("gener", "arsen")):
+        r1 = 5
+    elif w.startswith("commun"):
+        r1 = 6
+    else:
+        for i in range(1, n):
+            if not _p2_is_vowel(w, i) and _p2_is_vowel(w, i - 1):
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _p2_is_vowel(w, i) and _p2_is_vowel(w, i - 1):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _p2_short_syllable(w: str, i: int) -> bool:
+    """Short syllable ending at index i (inclusive of the consonant)."""
+    # (a) vowel followed by non-vowel (not w/x/Y), preceded by non-vowel
+    if i >= 2:
+        return (
+            _p2_is_vowel(w, i - 1)
+            and not _p2_is_vowel(w, i)
+            and w[i] not in "wxY"
+            and not _p2_is_vowel(w, i - 2)
+        )
+    # (b) vowel at beginning followed by non-vowel
+    return i == 1 and _p2_is_vowel(w, 0) and not _p2_is_vowel(w, 1)
+
+
+def _p2_is_short(w: str, r1: int) -> bool:
+    return r1 >= len(w) and len(w) >= 2 and _p2_short_syllable(w, len(w) - 1)
+
+
+def porter2_stem(word: str) -> str:
+    w = word
+    if len(w) <= 2:
+        return w
+    if not w.isascii() or not w.isalpha():
+        # pass through tokens the Snowball program wouldn't change
+        if w not in _P2_EXCEPTIONS and "'" not in w:
+            return w
+    if w.startswith("'"):
+        w = w[1:]
+    if w in _P2_EXCEPTIONS:
+        return _P2_EXCEPTIONS[w]
+    # mark consonant-y as Y
+    chars = list(w)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and _p2_is_vowel("".join(chars), i - 1):
+            chars[i] = "Y"
+    w = "".join(chars)
+    r1, r2 = _p2_regions(w)
+
+    # Step 0
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-2] if len(w) > 4 else w[:-1]
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s"):
+        if any(_p2_is_vowel(w, i) for i in range(len(w) - 2)):
+            w = w[:-1]
+
+    if w in _P2_EXCEPTIONS2:
+        return w
+
+    # Step 1b
+    if w.endswith(("eedly", "eed")):
+        suf = "eedly" if w.endswith("eedly") else "eed"
+        if len(w) - len(suf) >= r1:
+            w = w[: -len(suf)] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(_p2_is_vowel(stem, i) for i in range(len(stem))):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_P2_DOUBLES):
+                        w = w[:-1]
+                    elif _p2_is_short(w, r1):
+                        w += "e"
+                break
+
+    # Step 1c
+    if (
+        len(w) > 2
+        and w[-1] in "yY"
+        and not _p2_is_vowel(w, len(w) - 2)
+    ):
+        w = w[:-1] + "i"
+
+    # Step 2 (longest suffix, in R1)
+    step2 = [
+        ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+        ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"),
+    ]
+    done2 = False
+    for suf, rep in step2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                w = w[: -len(suf)] + rep
+            done2 = True
+            break
+    if not done2:
+        if w.endswith("ogi"):
+            if len(w) - 3 >= r1 and len(w) >= 4 and w[-4] == "l":
+                w = w[:-1]
+        elif w.endswith("li"):
+            if len(w) - 2 >= r1 and len(w) >= 3 and w[-3] in _P2_LI_ENDING:
+                w = w[:-2]
+
+    # Step 3 (in R1)
+    step3 = [
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+        ("ness", ""), ("ful", ""),
+    ]
+    done3 = False
+    for suf, rep in step3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                w = w[: -len(suf)] + rep
+            done3 = True
+            break
+    if not done3 and w.endswith("ative"):
+        if len(w) - 5 >= r1 and len(w) - 5 >= r2:
+            w = w[:-5]
+
+    # Step 4 (in R2)
+    step4 = [
+        "ement", "ance", "ence", "able", "ible", "ment",
+        "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+        "al", "er", "ic",
+    ]
+    done4 = False
+    for suf in step4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r2:
+                w = w[: -len(suf)]
+            done4 = True
+            break
+    if not done4 and w.endswith("ion"):
+        if len(w) - 3 >= r2 and len(w) >= 4 and w[-4] in "st":
+            w = w[:-3]
+
+    # Step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= r2 or (
+            len(w) - 1 >= r1 and not _p2_short_syllable(w, len(w) - 2)
+        ):
+            w = w[:-1]
+    elif w.endswith("l"):
+        if len(w) - 1 >= r2 and len(w) >= 2 and w[-2] == "l":
+            w = w[:-1]
+
+    return w.replace("Y", "y")
+
+
 _warned: set[str] = set()
 
 
@@ -213,7 +420,12 @@ def get_stemmer(lang: str):
         return Stemmer.Stemmer(_SNOWBALL_LANGS[lang]).stemWord
     except ImportError:
         pass
-    if lang in ("english", "porter", "lovins"):
+    if lang == "english":
+        return porter2_stem
+    if lang in ("porter", "lovins"):
+        # :porter is the original 1980 Porter algorithm; lovins has no
+        # pure-Python implementation here — porter is the closest
+        # English-family behavior (documented deviation).
         return porter_stem
     if lang not in _warned:
         _warned.add(lang)

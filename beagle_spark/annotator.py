@@ -90,8 +90,11 @@ def highlighter(dictionary, opts: dict | None = None):
     """Reference-parity local API: returns fn(text) -> [annotation]."""
     cd = _compile(dictionary, opts)
 
-    def annotate(text: str, _per_call_opts: dict | None = None) -> list[dict]:
-        return match_text(text, cd)
+    def annotate(text: str, per_call_opts: dict | None = None) -> list[dict]:
+        merge = None
+        if per_call_opts:
+            merge = _norm_opts(per_call_opts).get("merge_annotations")
+        return match_text(text, cd, merge=merge)
 
     annotate.compiled = cd  # type: ignore[attr-defined]
     return annotate

@@ -196,10 +196,12 @@ def compile_dictionary(
     )
 
 
-def match_text(text: str, cd: CompiledDictionary) -> list[dict]:
+def match_text(text: str, cd: CompiledDictionary, merge: bool | None = None) -> list[dict]:
     """Match one document against the compiled dictionary; returns
     annotation dicts (the reference's per-document `match`,
-    phrases.clj:228-234, incl. blank guard and post-processing)."""
+    phrases.clj:228-234, incl. blank guard and post-processing).
+    `merge` overrides the compile-time merge_annotations flag (the
+    reference accepts it per call, phrases.clj:271-273)."""
     if text is None or not text.strip():
         return []
     out: list[dict] = []
@@ -226,7 +228,7 @@ def match_text(text: str, cd: CompiledDictionary) -> list[dict]:
                         "end_offset": end,
                     }
                 )
-    if cd.merge_annotations:
+    if cd.merge_annotations if merge is None else merge:
         out = merge_same_type_annotations(out)
     return out
 

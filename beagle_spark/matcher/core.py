@@ -279,11 +279,17 @@ def _assign_any(cand: list[list[int]], s: int, k: int):
 
 def _match_ordered(positions: list[list[int]], slop: int) -> list[tuple[int, int]]:
     """Ordered span-near: strictly increasing positions, total gap <= slop.
-    Greedy minimal continuation per start (NearSpansOrdered behavior)."""
+    Greedy minimal continuation per start (optimal: total gap depends only
+    on the last position, which greedy minimizes). Matches sharing the
+    same END collapse to the earliest start — this reproduces the
+    reference's begin/end highlight pairing for ordered spans
+    (phrases.clj:43-53; pinned by phrases_test.clj:404-412 where
+    "phrase end end" over "phrase phrase end end" yields ONE highlight
+    spanning from the first "phrase")."""
     import bisect
 
     k = len(positions)
-    spans = []
+    by_end: dict[int, int] = {}
     for p0 in positions[0]:
         prev = p0
         ok = True
@@ -295,8 +301,9 @@ def _match_ordered(positions: list[list[int]], slop: int) -> list[tuple[int, int
                 break
             prev = plist[j]
         if ok and (prev - p0 - (k - 1)) <= slop:
-            spans.append((p0, prev))
-    return spans
+            if prev not in by_end:  # positions[0] scanned in order
+                by_end[prev] = p0
+    return [(s, e) for e, s in by_end.items()]
 
 
 def find_matches(tokens: list[Token], q: CompiledQuery) -> list[tuple[int, int]]:

@@ -1,0 +1,135 @@
+"""Ported from reference test/beagle/text_analysis_test.clj plus
+tokenizer offset invariants."""
+
+import pytest
+
+from beagle_spark.analysis import (
+    AnalysisConfig,
+    analyze,
+    ascii_fold,
+    field_name,
+    merge_config,
+    text_to_token_strings,
+)
+from beagle_spark.analysis.stem import porter_stem
+from beagle_spark.analysis.tokenizers import get_tokenizer
+
+
+def fname(entry, defaults=None):
+    return field_name(merge_config(entry, defaults or {}))
+
+
+def test_field_name_construction():  # text_analysis_test.clj:6-23
+    assert fname({}) == "text.standard-tokenizer"
+    assert fname({"case_sensitive": True}) == "text.standard-tokenizer"
+    assert fname({"case_sensitive": False}) == "text.standard-tokenizer.lowercased"
+    assert fname({"ascii_fold": True}) == "text.standard-tokenizer.ascii-folded"
+    assert fname({"stem": True}) == "text.standard-tokenizer.stemmed-english"
+    assert (
+        fname({"stem": True, "stemmer": "lithuanian"})
+        == "text.standard-tokenizer.stemmed-lithuanian"
+    )
+    assert (
+        fname({"ascii_fold": True, "case_sensitive": False, "stem": True,
+               "stemmer": "lithuanian"})
+        == "text.standard-tokenizer.ascii-folded-lowercased-stemmed-lithuanian"
+    )
+
+
+def test_token_stream():  # text_analysis_test.clj:25-46
+    txt = "These are tests."
+    cs = merge_config({"case_sensitive": True}, {})
+    assert text_to_token_strings(txt, cs) == ["These", "are", "tests"]
+    ci = merge_config({"case_sensitive": False}, {})
+    assert text_to_token_strings(txt, ci) == ["these", "are", "tests"]
+    folded = merge_config({"case_sensitive": False, "ascii_fold": True}, {})
+    assert text_to_token_strings(txt, folded) == ["these", "are", "tests"]
+    stemmed = merge_config(
+        {"case_sensitive": False, "ascii_fold": True, "stem": True}, {}
+    )
+    assert text_to_token_strings(txt, stemmed) == ["these", "are", "test"]
+    # whitespace tokenizer keeps the trailing period; stemmer leaves it
+    # (the reference notes this as "surprising but correct")
+    ws = merge_config(
+        {"case_sensitive": False, "ascii_fold": True, "stem": True},
+        {"tokenizer": "whitespace"},
+    )
+    assert text_to_token_strings(txt, ws) == ["these", "are", "tests."]
+
+
+def test_tokenizer_offsets():
+    txt = 'Hello, "wörld"! 3.14 don\'t x'
+    for name in ("standard", "whitespace", "letter", "strict", "classic"):
+        for t in get_tokenizer(name)(txt):
+            assert txt[t.begin : t.end] == t.text, name
+
+
+def test_keyword_tokenizer():
+    toks = get_tokenizer("keyword")("Some full string")
+    assert len(toks) == 1
+    assert toks[0].text == "Some full string"
+    assert (toks[0].begin, toks[0].end) == (0, 16)
+
+
+def test_standard_numbers():
+    toks = get_tokenizer("standard")("pi is 3.14 and 1,000 units")
+    assert [t.text for t in toks] == ["pi", "is", "3.14", "and", "1,000", "units"]
+
+
+def test_strict_tokenizer():
+    # strict keeps [](){}<>#+=@&' runs (text_analysis.clj:58-60)
+    toks = get_tokenizer("strict")("[URGENT!] a@b #tag c++")
+    assert [t.text for t in toks] == ["[URGENT", "]", "a@b", "#tag", "c++"]
+
+
+def test_ascii_fold():
+    assert ascii_fold("wörd") == "word"
+    assert ascii_fold("Schön") == "Schon"
+    assert ascii_fold("déjà-vu") == "deja-vu"
+    assert ascii_fold("plain") == "plain"
+
+
+def test_porter_stem():
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "falling": "fall",
+        "hissing": "hiss", "failing": "fail", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "digitizer": "digit", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis", "hopefulness": "hope",
+        "formality": "formal", "sensitivity": "sensit", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal", "electricity": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer", "airliner": "airlin",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun", "activate": "activ",
+        "angularity": "angular", "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+        "dogs": "dog", "running": "run", "tests": "test",
+    }
+    for w, expected in cases.items():
+        assert porter_stem(w) == expected, w
+
+
+def test_config_cascade_three_way():
+    # entry > highlighter defaults > library defaults
+    conf = merge_config({"case_sensitive": True}, {"case_sensitive": False})
+    assert conf.case_sensitive is True
+    conf = merge_config({}, {"case_sensitive": False})
+    assert conf.case_sensitive is False
+    conf = merge_config({}, {})
+    assert conf.case_sensitive is True  # library default: case-SENSITIVE
+    assert conf.tokenizer == "standard"
+    assert conf.stem is False
+
+
+def test_analyze_offsets_survive_filters():
+    conf = AnalysisConfig(case_sensitive=False, ascii_fold=True, stem=True)
+    txt = "The Dögs were RUNNING fast"
+    for t in analyze(txt, conf):
+        assert 0 <= t.begin < t.end <= len(txt)
+    assert [t.text for t in analyze(txt, conf)] == ["the", "dog", "were", "run", "fast"]
