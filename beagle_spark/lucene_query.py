@@ -1,0 +1,417 @@
+"""Lucene-style query-string annotator ("alpha" API surface).
+
+Reference: src/beagle/lucene_alpha.clj — dictionary `text` is parsed as
+a classic Lucene query string (booleans, phrases, regex, wildcards,
+fuzzy); matching is boolean per document (QueryMatch.SIMPLE_MATCHER),
+returning the query text + id + meta but NO offsets
+(lucene_alpha.clj:18-28). Default type "QUERY" (lucene_alpha.clj:60).
+Parse errors are logged and the entry dropped (lucene_alpha.clj:41-43).
+
+Engine design: query string -> small AST -> either
+  (a) a per-document Python evaluator over the analyzed token list
+      (used inside the same Arrow-batched UDF as the phrase matcher), or
+  (b) a Spark SQL boolean Column over a token-array column
+      (`to_spark_predicate`) for queries without phrase clauses —
+      pure JVM, whole-stage-codegen'able, the Spark-first fast path.
+"""
+
+from __future__ import annotations
+
+import logging
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+import regex as re
+
+from .analysis import analyze, field_name, merge_config
+from .matcher.core import dl_distance_leq
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class TermQ:
+    term: str
+
+
+@dataclass(frozen=True)
+class FuzzyQ:
+    term: str
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class WildcardQ:
+    pattern: str  # original with * and ?
+
+
+@dataclass(frozen=True)
+class RegexpQ:
+    pattern: str
+
+
+@dataclass(frozen=True)
+class PhraseQ:
+    terms: tuple[str, ...]
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class BoolQ:
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer for the query language
+# ---------------------------------------------------------------------------
+_TOK = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()|(?P<rparen>\))|
+        (?P<and>AND\b|&&)|(?P<or>OR\b|\|\|)|(?P<not>NOT\b|!)|
+        (?P<plus>\+)|(?P<minus>-)|
+        (?P<phrase>"(?:[^"\\]|\\.)*"(?:~(?P<pslop>\d+))?)|
+        (?P<regex>/(?:[^/\\]|\\.)*/)|
+        (?P<term>[^\s()"/]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+class ParseError(ValueError):
+    pass
+
+
+def _lex(s: str):
+    out = []
+    i = 0
+    while i < len(s):
+        m = _TOK.match(s, i)
+        if not m or m.end() == i:
+            if s[i:].strip():
+                raise ParseError(f"cannot lex at {i}: {s[i:]!r}")
+            break
+        i = m.end()
+        kind = m.lastgroup if m.lastgroup != "pslop" else "phrase"
+        for k in ("lparen", "rparen", "and", "or", "not", "plus", "minus",
+                  "phrase", "regex", "term"):
+            if m.group(k):
+                out.append((k, m.group(k), m.groupdict().get("pslop")))
+                break
+    return out
+
+
+class _Parser:
+    """Pratt-ish parser: OR < AND < NOT/unary; bare terms at the same
+    level combine as SHOULD (classic QueryParser default OR)."""
+
+    def __init__(self, toks, conf):
+        self.toks = toks
+        self.i = 0
+        self.conf = conf
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.parse_or()
+        if self.i < len(self.toks):
+            raise ParseError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def parse_or(self):
+        parts = [self.parse_and()]
+        while self.peek()[0] == "or":
+            self.next()
+            parts.append(self.parse_and())
+        if len(parts) == 1:
+            return parts[0]
+        return BoolQ(should=tuple(parts))
+
+    def parse_and(self):
+        parts = [self.parse_clauses()]
+        while self.peek()[0] == "and":
+            self.next()
+            parts.append(self.parse_clauses())
+        if len(parts) == 1:
+            return parts[0]
+        return BoolQ(must=tuple(parts))
+
+    def parse_clauses(self):
+        """A run of +/-/bare atoms (implicit SHOULD combination)."""
+        must, should, must_not = [], [], []
+        while True:
+            kind, _, _ = self.peek()
+            if kind in (None, "rparen", "and", "or"):
+                break
+            if kind == "plus":
+                self.next()
+                must.append(self.parse_atom())
+            elif kind in ("minus", "not"):
+                self.next()
+                must_not.append(self.parse_atom())
+            else:
+                should.append(self.parse_atom())
+        if not (must or should or must_not):
+            raise ParseError("empty clause")
+        if len(should) == 1 and not must and not must_not:
+            return should[0]
+        return BoolQ(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+
+    def parse_atom(self):
+        kind, text, pslop = self.next()
+        if kind == "lparen":
+            node = self.parse_or()
+            if self.next()[0] != "rparen":
+                raise ParseError("expected )")
+            return node
+        if kind == "phrase":
+            body = text[1 : text.rindex('"')]
+            slop = int(pslop) if pslop else 0
+            terms = tuple(t.text for t in analyze(body, self.conf))
+            if not terms:
+                raise ParseError(f"phrase analyzes to no terms: {body!r}")
+            return PhraseQ(terms=terms, slop=slop)
+        if kind == "regex":
+            return RegexpQ(pattern=text[1:-1])
+        if kind == "term":
+            # field:term -> ignore the field prefix (single-field engine)
+            if ":" in text and not text.startswith(":"):
+                text = text.split(":", 1)[1]
+            fuzzy = None
+            m = re.fullmatch(r"(.+?)~(\d*)", text)
+            if m:
+                text, n = m.group(1), m.group(2)
+                fuzzy = int(n) if n else 2
+            if any(c in text for c in "*?"):
+                return WildcardQ(pattern=text if fuzzy is None else text)
+            analyzed = [t.text for t in analyze(text, self.conf)]
+            term = analyzed[0] if analyzed else text
+            if fuzzy is not None:
+                return FuzzyQ(term=term, max_edits=fuzzy)
+            return TermQ(term=term)
+        raise ParseError(f"unexpected token {kind}:{text}")
+
+
+def parse_query(query_string: str, conf) -> BoolQ | TermQ | PhraseQ | RegexpQ | WildcardQ | FuzzyQ:
+    toks = _lex(query_string)
+    if not toks:
+        raise ParseError("empty query")
+    return _Parser(toks, conf).parse()
+
+
+# ---------------------------------------------------------------------------
+# Local evaluation over an analyzed token list
+# ---------------------------------------------------------------------------
+def _wildcard_to_regex(pattern: str) -> re.Pattern:
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return re.compile("".join(parts))
+
+
+def eval_query(node, token_list: list[str], token_set: set) -> bool:
+    if isinstance(node, TermQ):
+        return node.term in token_set
+    if isinstance(node, FuzzyQ):
+        return any(dl_distance_leq(node.term, t, node.max_edits) for t in token_set)
+    if isinstance(node, WildcardQ):
+        rx = _wildcard_to_regex(node.pattern)
+        return any(rx.fullmatch(t) for t in token_set)
+    if isinstance(node, RegexpQ):
+        rx = re.compile(node.pattern)
+        return any(rx.fullmatch(t) for t in token_set)
+    if isinstance(node, PhraseQ):
+        k = len(node.terms)
+        if k == 1:
+            return node.terms[0] in token_set
+        # sloppy-phrase existence over string positions
+        from .matcher.core import CompiledQuery, find_matches
+        from .analysis import Token
+
+        toks = [Token(t, i, i + 1) for i, t in enumerate(token_list)]
+        q = CompiledQuery(query_id="", terms=node.terms, field="", slop=node.slop)
+        return bool(find_matches(toks, q))
+    if isinstance(node, BoolQ):
+        for m in node.must_not:
+            if eval_query(m, token_list, token_set):
+                return False
+        for m in node.must:
+            if not eval_query(m, token_list, token_set):
+                return False
+        if node.should and not node.must:
+            return any(eval_query(s, token_list, token_set) for s in node.should)
+        return bool(node.must) or not node.should
+    raise TypeError(f"unknown node {node!r}")
+
+
+def has_phrase(node) -> bool:
+    if isinstance(node, PhraseQ):
+        return len(node.terms) > 1
+    if isinstance(node, BoolQ):
+        return any(has_phrase(c) for c in node.must + node.should + node.must_not)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Spark Column compilation (phrase-free queries): pure JVM predicate
+# ---------------------------------------------------------------------------
+def to_spark_predicate(node, tokens_col):
+    """Compile a phrase-free AST to a Column over an array<string> token
+    column: array_contains / exists(rlike) / AND/OR/NOT. Stays inside
+    whole-stage codegen — no Python in the hot path."""
+    from pyspark.sql import functions as F
+
+    if isinstance(node, TermQ):
+        return F.array_contains(tokens_col, node.term)
+    if isinstance(node, (RegexpQ, WildcardQ)):
+        pat = (
+            node.pattern
+            if isinstance(node, RegexpQ)
+            else _wildcard_to_regex(node.pattern).pattern
+        )
+        return F.exists(tokens_col, lambda t: t.rlike(f"^(?:{pat})$"))
+    if isinstance(node, PhraseQ) and len(node.terms) == 1:
+        return F.array_contains(tokens_col, node.terms[0])
+    if isinstance(node, FuzzyQ):
+        raise ValueError("fuzzy term not SQL-expressible; use the UDF path")
+    if isinstance(node, BoolQ):
+        import functools
+
+        cond = F.lit(True)
+        if node.must:
+            cond = functools.reduce(
+                lambda a, b: a & b, (to_spark_predicate(m, tokens_col) for m in node.must)
+            )
+        if node.should and not node.must:
+            cond = functools.reduce(
+                lambda a, b: a | b, (to_spark_predicate(s, tokens_col) for s in node.should)
+            )
+        for m in node.must_not:
+            cond = cond & ~to_spark_predicate(m, tokens_col)
+        return cond
+    raise ValueError(f"not SQL-expressible: {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# Public API (parity with lucene_alpha/annotator)
+# ---------------------------------------------------------------------------
+@dataclass
+class CompiledLuceneQuery:
+    query_id: str
+    query_string: str
+    ast: object
+    conf: object
+    type: Optional[str] = None
+    meta: dict = dc_field(default_factory=dict)
+
+
+def compile_lucene_dictionary(dictionary, opts: dict | None = None):
+    opts = opts or {}
+    default_conf = {
+        str(k).lstrip(":").replace("-", "_").rstrip("?"): v for k, v in opts.items()
+    }
+    type_name = default_conf.pop("type_name", None) or "QUERY"
+    compiled = []
+    for idx, entry in enumerate(dictionary):
+        entry = {str(k).lstrip(":"): v for k, v in entry.items()}
+        conf = merge_config(
+            {k.replace("-", "_").rstrip("?"): v for k, v in entry.items()}, default_conf
+        )
+        try:
+            ast = parse_query(entry["text"], conf)
+        except Exception as e:  # parse failure -> drop entry (lucene_alpha.clj:41-43)
+            logger.error("Failed to parse query %r: %s", entry.get("text"), e)
+            continue
+        meta = {str(k).lstrip(":"): str(v) for k, v in (entry.get("meta") or {}).items()}
+        compiled.append(
+            CompiledLuceneQuery(
+                query_id=str(entry.get("id") or idx),
+                query_string=entry["text"],
+                ast=ast,
+                conf=conf,
+                type=entry.get("type"),
+                meta=meta,
+            )
+        )
+    return compiled, type_name
+
+
+def lucene_annotator(dictionary, opts: dict | None = None):
+    """Local API parity (lucene_alpha.clj:57-66): fn(text) -> matches
+    with {text: query-string, type, dict_entry_id, meta} — no offsets."""
+    compiled, type_name = compile_lucene_dictionary(dictionary, opts)
+
+    def annotate(text: str, _opts: dict | None = None) -> list[dict]:
+        if text is None or not text.strip():
+            return []
+        out = []
+        by_conf: dict = {}
+        for cq in compiled:
+            key = cq.conf
+            if key not in by_conf:
+                tl = [t.text for t in analyze(text, key)]
+                by_conf[key] = (tl, set(tl))
+            token_list, token_set = by_conf[key]
+            if eval_query(cq.ast, token_list, token_set):
+                out.append(
+                    {
+                        "text": cq.query_string,
+                        "type": cq.type if cq.type is not None else type_name,
+                        "dict_entry_id": cq.query_id,
+                        "meta": cq.meta,
+                    }
+                )
+        return out
+
+    annotate.compiled = compiled  # type: ignore[attr-defined]
+    return annotate
+
+
+def lucene_annotate_df(df, dictionary, text_col: str = "text", opts: dict | None = None,
+                       output_col: str = "query_matches"):
+    """DataFrame operator: array<struct> of boolean query matches per row.
+    Same broadcast + Arrow-batch design as the phrase annotator."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (ArrayType, MapType, StringType, StructField,
+                                   StructType)
+    import pandas as pd
+    from typing import Iterator
+
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("text", StringType()),
+                StructField("type", StringType()),
+                StructField("dict_entry_id", StringType()),
+                StructField("meta", MapType(StringType(), StringType())),
+            ]
+        )
+    )
+    spark = df.sparkSession
+    fn = lucene_annotator(dictionary, opts)
+    bc = spark.sparkContext.broadcast(fn)
+
+    @pandas_udf(schema)
+    def match_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        f = bc.value
+        for s in batches:
+            yield s.map(lambda t: f(t))
+
+    return df.withColumn(output_col, match_udf(F.col(text_col)))

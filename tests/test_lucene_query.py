@@ -1,0 +1,96 @@
+"""Lucene query-string annotator tests (reference:
+test/beagle/lucene_alpha_test.clj + classic-parser semantics)."""
+
+import pytest
+
+from beagle_spark.lucene_query import (
+    lucene_annotator,
+    parse_query,
+    to_spark_predicate,
+)
+from beagle_spark.analysis import merge_config
+
+CONF = merge_config({}, {})
+
+
+def test_smoke_and():  # lucene_alpha_test.clj:6-14
+    txt = "some text this other that"
+    ann = lucene_annotator([{"text": "this AND that", "id": "1", "slop": 1}])
+    anns = ann(txt)
+    assert anns == ann(txt, {})
+    assert len(anns) == 1
+    assert anns[0]["dict_entry_id"] == "1"
+    assert anns[0]["type"] == "QUERY"
+    assert anns[0]["text"] == "this AND that"
+
+
+def test_smoke_and_negative():  # lucene_alpha_test.clj:16-22
+    txt = "some text this AND"
+    ann = lucene_annotator([{"text": "this AND thatx", "id": "1"}])
+    assert ann(txt) == []
+
+
+def test_smoke_regex():  # lucene_alpha_test.clj:24-30
+    txt = "some number 1234 test"
+    ann = lucene_annotator([{"text": "/.*\\d*.*/", "id": "1", "slop": 1}])
+    assert len(ann(txt)) > 0
+
+
+def test_boolean_operators():
+    ann = lucene_annotator([{"text": "a AND (b OR c) AND NOT d", "id": "q"}])
+    assert ann("a b x")
+    assert ann("a c x")
+    assert not ann("a x")
+    assert not ann("a b d")
+
+
+def test_plus_minus():
+    ann = lucene_annotator([{"text": "+alpha -beta gamma", "id": "q"}])
+    assert ann("alpha something")
+    assert not ann("alpha beta")
+    assert not ann("gamma only")  # +alpha is required
+
+
+def test_phrase_clause():
+    ann = lucene_annotator([{"text": '"big table scan"', "id": "q"}])
+    assert ann("the big table scan runs")
+    assert not ann("big scan of table")  # order matters at slop 0
+    ann = lucene_annotator([{"text": '"big scan"~2', "id": "q"}])
+    assert ann("big table scan")
+
+
+def test_wildcard_and_fuzzy():
+    ann = lucene_annotator([{"text": "tabl*", "id": "q"}])
+    assert ann("table here")
+    assert ann("tablature here")
+    assert not ann("tab here")
+    ann = lucene_annotator([{"text": "table~1", "id": "q"}])
+    assert ann("tble x")  # 1 deletion
+    assert not ann("tb x")
+
+
+def test_parse_error_drops_entry():
+    ann = lucene_annotator([{"text": "(((", "id": "bad"}, {"text": "ok", "id": "good"}])
+    anns = ann("ok text")
+    assert [a["dict_entry_id"] for a in anns] == ["good"]
+
+
+def test_case_insensitive_conf():
+    ann = lucene_annotator(
+        [{"text": "Urgent AND Delivery", "id": "q", "case-sensitive?": False}]
+    )
+    assert ann("URGENT delivery now")
+
+
+def test_spark_predicate_compiles(spark):
+    from pyspark.sql import functions as F
+
+    node = parse_query("a AND (b OR c) AND NOT d", CONF)
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "d", "b"]), (3, ["c"]), (4, ["a", "c", "x"])],
+        ["id", "tokens"],
+    )
+    got = sorted(
+        r["id"] for r in df.filter(to_spark_predicate(node, F.col("tokens"))).collect()
+    )
+    assert got == [1, 4]
