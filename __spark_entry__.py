@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: annotate the sf0.001 documents stream with a
+                 phrase dictionary (the reference's core capability) and
+                 return exploded annotations.
+queries()      — every implemented operator from SURVEY.md §2 (registry
+                 in beagle_spark/queries.py).
+oracle_sql()   — exactly-equivalent DuckDB SQL per query where the
+                 semantics are SQL-expressible; non-SQL ops (LSH hash
+                 families, winnowing, custom streaming) omit the oracle
+                 and rely on golden tests (tests/).
 """
 
 from __future__ import annotations
@@ -13,26 +17,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from beagle_spark.queries import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from beagle_spark import Annotator
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dictionary = [
+        {"text": "table scan", "id": "scan", "case-sensitive?": False},
+        {"text": "hash join", "id": "join", "case-sensitive?": False, "slop": 1},
+        {"text": "spark", "id": "spark", "synonyms": ["pyspark"]},
+        {"text": "stream", "id": "stream", "stem?": True},
+    ]
+    ann = Annotator(dictionary)
+    return ann.explode(docs, keep_cols=["doc_id", "lang", "source"]).orderBy(
+        "doc_id", "begin_offset", "dict_entry_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

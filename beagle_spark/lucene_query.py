@@ -20,8 +20,9 @@ from __future__ import annotations
 import logging
 import uuid
 from dataclasses import dataclass, field as dc_field
-from typing import Optional
+from typing import Iterator, Optional
 
+import pandas as pd
 import regex as re
 
 from .analysis import analyze, field_name, merge_config
@@ -352,11 +353,7 @@ def compile_lucene_dictionary(dictionary, opts: dict | None = None):
     return compiled, type_name
 
 
-def lucene_annotator(dictionary, opts: dict | None = None):
-    """Local API parity (lucene_alpha.clj:57-66): fn(text) -> matches
-    with {text: query-string, type, dict_entry_id, meta} — no offsets."""
-    compiled, type_name = compile_lucene_dictionary(dictionary, opts)
-
+def _make_matcher(compiled, type_name):
     def annotate(text: str, _opts: dict | None = None) -> list[dict]:
         if text is None or not text.strip():
             return []
@@ -379,6 +376,14 @@ def lucene_annotator(dictionary, opts: dict | None = None):
                 )
         return out
 
+    return annotate
+
+
+def lucene_annotator(dictionary, opts: dict | None = None):
+    """Local API parity (lucene_alpha.clj:57-66): fn(text) -> matches
+    with {text: query-string, type, dict_entry_id, meta} — no offsets."""
+    compiled, type_name = compile_lucene_dictionary(dictionary, opts)
+    annotate = _make_matcher(compiled, type_name)
     annotate.compiled = compiled  # type: ignore[attr-defined]
     return annotate
 
@@ -391,8 +396,6 @@ def lucene_annotate_df(df, dictionary, text_col: str = "text", opts: dict | None
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import (ArrayType, MapType, StringType, StructField,
                                    StructType)
-    import pandas as pd
-    from typing import Iterator
 
     schema = ArrayType(
         StructType(
@@ -405,13 +408,16 @@ def lucene_annotate_df(df, dictionary, text_col: str = "text", opts: dict | None
         )
     )
     spark = df.sparkSession
-    fn = lucene_annotator(dictionary, opts)
-    bc = spark.sparkContext.broadcast(fn)
+    # broadcast the picklable compiled form; rebuild the evaluator per
+    # executor (closures over module functions don't pickle)
+    compiled, type_name = compile_lucene_dictionary(dictionary, opts)
+    bc = spark.sparkContext.broadcast((compiled, type_name))
 
     @pandas_udf(schema)
     def match_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        f = bc.value
+        cqs, tname = bc.value
+        f = _make_matcher(cqs, tname)
         for s in batches:
-            yield s.map(lambda t: f(t))
+            yield s.map(f)
 
     return df.withColumn(output_col, match_udf(F.col(text_col)))

@@ -1,0 +1,204 @@
+"""Deduplication operators for large text corpora.
+
+All hot paths are pure Spark SQL expressions (JVM, whole-stage codegen,
+no Python UDFs): at 100 TB the only thing that matters is the shuffle
+profile, noted per operator.
+
+- exact_dedup:            1 shuffle on text-hash (map-side partial agg)
+- minhash_lsh_candidates: signatures computed scan-side (no shuffle),
+                          1 shuffle on (band, bucket) - the standard
+                          MinHash-LSH join trick; candidate verification
+                          is an equi-join, never an all-pairs product
+- simhash_fingerprints:   scan-side only, then 1 shuffle on band key
+- ngram_jaccard_pairs:    exact Jaccard via shingle-explode + self-join;
+                          quadratic in the worst case - intended for
+                          verification at small scale or AFTER LSH
+                          candidate pruning; the scale path is
+                          minhash_lsh_candidates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col):
+    """Whitespace-collapsed lowercase — the canonical form for exact
+    dedup. Identical expression exists in DuckDB (regexp_replace +
+    lower), so the oracle replicates it verbatim."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by md5 of normalized text; canonical = min id.
+    One shuffle, partial-aggregated map-side."""
+    return (
+        df.select(
+            F.md5(normalized_text(F.col(text_col)).cast("binary")).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+def word_shingles(col, k: int = 3):
+    """k-word shingles as array<string> (distinct), built scan-side with
+    split + transform — no explode until the join needs it."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >=
+    threshold). Shingle-explode + equi-self-join on the shingle: cost is
+    sum over shingles of df(shingle)^2 — fine after LSH pruning or at
+    validation scale; use minhash_lsh_candidates as the 100 TB path."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(col, num_perm: int = 64, shingle_k: int = 3):
+    """num_perm MinHash values as array<bigint>, computed scan-side:
+    sig[i] = min over shingles of xxhash64(shingle, seed_i). Seeds are
+    baked into the expression (deterministic across runs/executors)."""
+    shingles = word_shingles(col, shingle_k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.xxhash64(s, i),
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: docs agreeing on ALL rows of any band are
+    candidate near-duplicates. Returns distinct candidate pairs
+    (id_a < id_b, n_bands agreement count). One shuffle on the
+    (band, bucket-hash) key — never an all-pairs product."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, shingle_k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice("sig", b * rows + 1, rows),
+                                                     lambda v: v.cast("string")))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """64-bit SimHash per document, computed entirely JVM-side:
+    bit i of the fingerprint = sign of sum over tokens of
+    (+1 if bit i of xxhash64(token) else -1). Also emits 64/band_bits
+    band keys for hamming-candidate grouping (docs sharing any exact
+    band are candidates at hamming distance <= 64 - band_bits)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # materialize per-token hashes once; the 64 bit-sums are static
+    # Python-generated expressions over it (bit positions are plan-time
+    # constants, so every shift is a literal — stays in codegen)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_hashes"),
+    )
+    def _bit_sum(i: int):
+        # two-arg lambda (pyspark passes one Column per declared param)
+        return F.aggregate(
+            F.col("_hashes"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(i) for i in range(64)]
+    fingerprint = None
+    for i, bs in enumerate(bit_sums):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # avoid long overflow
+        term = F.when(bs > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    out = staged.select("id", fingerprint.alias("simhash"))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return out.withColumn(
+        "bands",
+        F.array(
+            *[
+                F.shiftrightunsigned("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ]
+        ),
+    )

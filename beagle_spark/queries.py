@@ -1,0 +1,401 @@
+"""Conformance-query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable with (where SQL-expressible) an
+exactly-equivalent DuckDB oracle string. This is the single source of
+truth consumed by __spark_entry__.py (driver correctness gate) and
+bench.py.
+
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing values). Float aggregates
+are rounded identically; rankings avoid float-equality sensitivity by
+returning id sets rather than raw floats where warranted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import relational as R
+from .annotator import Annotator
+from .lucene_query import lucene_annotate_df
+from .ops import dedup, multimodal, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# Text-match surface (the beagle capability, C-2): oracles restricted to
+# regex-expressible configs; slop/fuzzy/stemming are covered by the
+# golden test suite instead (tests/test_phrases.py).
+# ---------------------------------------------------------------------------
+_WB = "(^|[^a-zA-Z0-9])"  # token boundary for the standard tokenizer
+_WE = "([^a-zA-Z0-9]|$)"
+
+T5_TERMS = ["table", "spark", "hash", "join", "merge"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def t1_term_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-term annotate, case-sensitive, standard tokenizer."""
+    ann = Annotator([{"text": "table", "id": "t1"}])
+    df = ann.annotate_df(_docs(spark, sf_dir))
+    return df.where(F.size("annotations") > 0).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+T1_SQL = f"""
+SELECT count(*) AS n_docs FROM documents
+WHERE regexp_matches(text, '{_WB}table{_WE}')
+"""
+
+
+def t2_term_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ann = Annotator([{"text": "SPARK", "id": "t2", "case-sensitive?": False}])
+    df = ann.annotate_df(_docs(spark, sf_dir))
+    return df.where(F.size("annotations") > 0).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+T2_SQL = f"""
+SELECT count(*) AS n_docs FROM documents
+WHERE regexp_matches(lower(text), '{_WB}spark{_WE}')
+"""
+
+
+def t3_phrase_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ann = Annotator([{"text": "table scan", "id": "t3", "case-sensitive?": False}])
+    df = ann.annotate_df(_docs(spark, sf_dir))
+    return df.where(F.size("annotations") > 0).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+T3_SQL = f"""
+SELECT count(*) AS n_docs FROM documents
+WHERE regexp_matches(lower(text), '{_WB}table[^a-zA-Z0-9]+scan{_WE}')
+"""
+
+
+def t4_phrase_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Begin/end char offsets of the FIRST occurrence per document."""
+    ann = Annotator([{"text": "table scan", "id": "t4", "case-sensitive?": False}])
+    ex = ann.explode(_docs(spark, sf_dir), keep_cols=["doc_id"])
+    return (
+        ex.groupBy("doc_id")
+        .agg(F.min(F.struct("begin_offset", "end_offset")).alias("first"))
+        .select(
+            "doc_id",
+            F.col("first.begin_offset").alias("begin_offset"),
+            F.col("first.end_offset").alias("end_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T4_SQL = """
+SELECT doc_id,
+       strpos(lower(text), 'table scan') - 1 AS begin_offset,
+       strpos(lower(text), 'table scan') - 1 + length('table scan') AS end_offset
+FROM documents
+WHERE strpos(lower(text), 'table scan') > 0
+ORDER BY doc_id
+"""
+
+
+def t5_dict_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc count of matched dictionary ENTRIES (the doc x query
+    theta-join, stated relationally)."""
+    ann = Annotator(
+        [{"text": t, "id": t, "case-sensitive?": False} for t in T5_TERMS]
+    )
+    ex = ann.explode(_docs(spark, sf_dir), keep_cols=["doc_id"])
+    return (
+        ex.groupBy("doc_id")
+        .agg(F.countDistinct("dict_entry_id").alias("n_matched"))
+        .orderBy("doc_id")
+    )
+
+
+T5_SQL = f"""
+SELECT d.doc_id, count(*) AS n_matched
+FROM documents d
+JOIN (VALUES {", ".join(f"('{t}')" for t in T5_TERMS)}) q(term)
+  ON regexp_matches(lower(d.text), '{_WB}' || q.term || '{_WE}')
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def t6_lucene_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene query-string surface: boolean AND/NOT match counts."""
+    df = lucene_annotate_df(
+        _docs(spark, sf_dir), [{"text": "table AND spark AND NOT vector", "id": "q1"}]
+    )
+    return df.where(F.size("query_matches") > 0).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+T6_SQL = f"""
+SELECT count(*) AS n_docs FROM documents
+WHERE regexp_matches(text, '{_WB}table{_WE}')
+  AND regexp_matches(text, '{_WB}spark{_WE}')
+  AND NOT regexp_matches(text, '{_WB}vector{_WE}')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup surface
+# ---------------------------------------------------------------------------
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+DD_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DD_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (hash family not replicable in DuckDB ->
+    rows-only check; pair-level precision asserted in tests against
+    exact jaccard)."""
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.simhash_fingerprints(_docs(spark, sf_dir))
+    return out.select("id", "simhash").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity surface
+# ---------------------------------------------------------------------------
+def _query_vec(spark, sf_dir, vec_id=0):
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir, 0)
+    return similarity.brute_force_topk(emb, q, k=10, exclude_ids=(0,)).orderBy("vec_id")
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) DESC, vec_id
+LIMIT 10
+"""
+
+
+def sim_cos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        similarity.cosine_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.4
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+SIM_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir, 0)
+    return similarity.lsh_ann_topk(emb, q, k=10).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Text-stats surface
+# ---------------------------------------------------------------------------
+def ts_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+TS_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens_bpeish
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def ts_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in textstats.STOPWORDS["en"])
+TS_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(n_chars * 1.0 / len(toks), 3) AS chars_per_token,
+       round(len(list_filter(toks, t -> t IN ({_SW_EN}))) * 1.0 / len(toks), 3) AS stop_ratio,
+       round(0.5 * least(len(toks) / 50.0, 1.0)
+           + 0.5 * least(round(len(list_filter(toks, t -> t IN ({_SW_EN}))) * 1.0 / len(toks), 3) * 5, 1.0), 3)
+         AS quality_score
+FROM t
+ORDER BY doc_id
+"""
+
+
+def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _lang_ratio_sql(lang):
+    words = ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    return f"round(len(list_filter(toks, t -> t IN ({words}))) * 1.0 / len(toks), 4)"
+
+
+TS_LANG_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         {_lang_ratio_sql("en")} AS r_en, {_lang_ratio_sql("de")} AS r_de,
+         {_lang_ratio_sql("fr")} AS r_fr, {_lang_ratio_sql("es")} AS r_es
+  FROM t
+), m AS (
+  SELECT doc_id, r_en, r_de, r_fr, r_es,
+         greatest(r_en, r_de, r_fr, r_es) AS rmax
+  FROM r
+)
+SELECT doc_id,
+       CASE WHEN rmax < 0.02 THEN 'und'
+            WHEN r_fr = rmax THEN 'fr'
+            WHEN r_es = rmax THEN 'es'
+            WHEN r_en = rmax THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       rmax AS stop_ratio
+FROM m
+ORDER BY doc_id
+"""
+
+
+def ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint_md5(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+TS_FP_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def ts_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.fingerprint_winnow(_docs(spark, sf_dir))
+    return out.select("doc_id", F.size("winnow_fp").alias("n_grams")).orderBy("doc_id")
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synth binary payloads -> mapInPandas feature
+    extraction (deterministic fake kernel; decode stubs documented)."""
+    media = multimodal.synthesize_media_from_docs(_docs(spark, sf_dir))
+    return (
+        multimodal.extract_features(media)
+        .select("media_id", "n_bytes")
+        .orderBy("media_id")
+    )
+
+
+MM_SQL = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+FROM documents
+ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict = {
+    # relational host surface
+    "q1_pricing_summary": (R.q1_pricing_summary, R.Q1_SQL),
+    "q2_exists_semijoin": (R.q2_exists_semijoin, R.Q2_SQL),
+    "q3_region_revenue": (R.q3_region_revenue, R.Q3_SQL),
+    "q4_distinct_agg": (R.q4_distinct_agg, R.Q4_SQL),
+    "q5_hourly_events": (R.q5_hourly_events, R.Q5_SQL),
+    "q6_window_rownum": (R.q6_window_rownum, R.Q6_SQL),
+    "q7_documents_stats": (R.q7_documents_stats, R.Q7_SQL),
+    "q8_asof_last_signup": (R.q8_asof_last_signup, R.Q8_SQL),
+    # text-match surface (beagle core)
+    "t1_term_match": (t1_term_match, T1_SQL),
+    "t2_term_ci": (t2_term_ci, T2_SQL),
+    "t3_phrase_ci": (t3_phrase_ci, T3_SQL),
+    "t4_phrase_offsets": (t4_phrase_offsets, T4_SQL),
+    "t5_dict_match_counts": (t5_dict_match_counts, T5_SQL),
+    "t6_lucene_bool": (t6_lucene_bool, T6_SQL),
+    # dedup
+    "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
+    "dd_minhash_lsh": (dd_minhash_lsh, None),
+    "dd_simhash": (dd_simhash, None),
+    # similarity
+    "sim_topk": (sim_topk, SIM_TOPK_SQL),
+    "sim_cos_pairs": (sim_cos_pairs, SIM_PAIRS_SQL),
+    "sim_lsh_ann": (sim_lsh_ann, None),
+    # text stats
+    "ts_token_count": (ts_token_count, TS_TOKEN_SQL),
+    "ts_quality": (ts_quality, TS_QUALITY_SQL),
+    "ts_lang_id": (ts_lang_id, TS_LANG_SQL),
+    "ts_fingerprint": (ts_fingerprint, TS_FP_SQL),
+    "ts_winnow": (ts_winnow, None),
+    # multimodal plumbing
+    "mm_features": (mm_features, MM_SQL),
+}

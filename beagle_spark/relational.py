@@ -1,0 +1,257 @@
+"""Relational host surface (SURVEY.md section 2 Part C-1).
+
+These are plain Spark DataFrame queries over the TPC-H-ish testdata —
+the point is to prove the engine embeds in real relational pipelines
+and that the plans Catalyst produces are the ones you'd want at 100 TB:
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema),
+- small dims (region/nation/customer at these SFs) broadcast,
+- aggregations are partial (map-side) before the shuffle,
+- window/top-k uses a single shuffle per partitioning.
+
+Every computed column is aliased to match the DuckDB oracle exactly
+(driver hash-compares by sorted column name). Float aggregates are
+rounded identically on both sides to keep value-hashes stable across
+summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as long (nanosAsLong) and truncate to
+    microseconds — the same truncation DuckDB applies when casting
+    nanos to its micro-precision TIMESTAMP."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash agg + sort."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q2_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelates to a left-semi join (broadcast or shuffled-hash
+    chosen by AQE based on the build side size)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.where(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q2_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q3_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join; dims broadcast (they're tiny at any SF —
+    nation/region are fixed-size, customer ~ SF*150k: broadcast the
+    dimension chain, shuffle only orders)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q3_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q4_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q4_SQL = """
+SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q5_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window, batch form. The streaming form is the
+    same plan over readStream + watermark (see streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("hour_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+Q5_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q6_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id", "value", F.row_number().over(w).alias("rn")
+        )
+        .orderBy("user_id", "rn")
+        .limit(1000)
+    )
+
+
+Q6_SQL = """
+SELECT user_id, event_id, value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+ORDER BY user_id, rn
+LIMIT 1000
+"""
+
+
+def q7_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source", "lang")
+    )
+
+
+Q7_SQL = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def q8_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed Spark-first: instead of a range/inequality
+    join (quadratic without a specialized operator), tag the build-side
+    rows, union, and take `last(..., ignorenulls)` over an event-time
+    window per key — one shuffle on user_id, linear scan per partition.
+    DuckDB oracle uses its native ASOF JOIN."""
+    ev = load(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type", F.lit(None).cast("timestamp").alias("signup_ts")
+    ).unionByName(
+        signups.select(
+            "user_id",
+            F.col("signup_ts").alias("ts"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            "signup_ts",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("signup_ts").isNull().cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w))
+        .where(F.col("event_id").isNotNull())
+        .select("event_id", "user_id", "last_signup_ts")
+        .orderBy("event_id")
+    )
+
+
+Q8_SQL = """
+SELECT e.event_id, e.user_id, s.ts AS last_signup_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+ORDER BY e.event_id
+"""
