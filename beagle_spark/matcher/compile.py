@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 
 from ..analysis import AnalysisConfig, Token, analyze, field_name, merge_config
 from ..schema import DictionaryEntry
-from .core import CompiledQuery, find_matches, normalize_slop
+from .core import CompiledQuery, build_token_index, find_matches, normalize_slop
 
 logger = logging.getLogger(__name__)
 
@@ -209,10 +209,10 @@ def match_text(text: str, cd: CompiledDictionary, merge: bool | None = None) -> 
         tokens = analyze(text, prog.conf)
         if not tokens:
             continue
-        token_texts = {t.text for t in tokens}
-        for qi in prog.candidates(token_texts):
+        index = build_token_index(tokens)
+        for qi in prog.candidates(index.keys()):
             q = prog.queries[qi]
-            for begin, end in find_matches(tokens, q):
+            for begin, end in find_matches(tokens, q, index):
                 # post-process (phrases.clj:217-226): synonym hits
                 # re-attributed to the parent entry id; `_type` never
                 # leaks (we never put it in meta).

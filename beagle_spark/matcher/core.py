@@ -99,12 +99,20 @@ def dl_distance_leq(a: str, b: str, max_edits: int) -> bool:
 # ---------------------------------------------------------------------------
 # Position-list construction.
 # ---------------------------------------------------------------------------
-def _positions_exact(tokens: list[Token], terms: tuple[str, ...]):
-    """For each phrase slot, the sorted doc positions whose token equals
-    the term. Returns None if any slot has no occurrence."""
+def build_token_index(tokens: list[Token]) -> dict:
+    """token text -> sorted positions; built ONCE per (doc, analysis
+    config) and shared across all candidate queries (the per-doc
+    equivalent of Lucene's single transient in-memory doc index,
+    phrases.clj:110-114)."""
     index: dict[str, list[int]] = {}
     for pos, t in enumerate(tokens):
         index.setdefault(t.text, []).append(pos)
+    return index
+
+
+def _positions_exact(index: dict, terms: tuple[str, ...]):
+    """For each phrase slot, the sorted doc positions whose token equals
+    the term. Returns None if any slot has no occurrence."""
     out = []
     for term in terms:
         plist = index.get(term)
@@ -114,16 +122,13 @@ def _positions_exact(tokens: list[Token], terms: tuple[str, ...]):
     return out
 
 
-def _positions_fuzzy(tokens: list[Token], terms: tuple[str, ...], max_edits: int):
+def _positions_fuzzy(index: dict, terms: tuple[str, ...], max_edits: int):
     """Fuzzy slot positions: token within DL distance <= max_edits of the
     term. Distance computed once per DISTINCT doc token per term."""
-    distinct: dict[str, list[int]] = {}
-    for pos, t in enumerate(tokens):
-        distinct.setdefault(t.text, []).append(pos)
     out = []
     for term in terms:
         plist: list[int] = []
-        for tok_text, positions in distinct.items():
+        for tok_text, positions in index.items():
             if dl_distance_leq(term, tok_text, max_edits):
                 plist.extend(positions)
         if not plist:
@@ -306,15 +311,20 @@ def _match_ordered(positions: list[list[int]], slop: int) -> list[tuple[int, int
     return [(s, e) for e, s in by_end.items()]
 
 
-def find_matches(tokens: list[Token], q: CompiledQuery) -> list[tuple[int, int]]:
+def find_matches(
+    tokens: list[Token], q: CompiledQuery, index: dict | None = None
+) -> list[tuple[int, int]]:
     """All match spans of `q` in `tokens`, as char-offset (begin, end)
-    pairs into the original text."""
+    pairs into the original text. Pass a prebuilt `build_token_index`
+    to amortize it across queries (the hot path does)."""
     if not tokens or not q.terms:
         return []
+    if index is None:
+        index = build_token_index(tokens)
     if q.fuzzy:
-        positions = _positions_fuzzy(tokens, q.terms, max(0, q.fuzziness))
+        positions = _positions_fuzzy(index, q.terms, max(0, q.fuzziness))
     else:
-        positions = _positions_exact(tokens, q.terms)
+        positions = _positions_exact(index, q.terms)
     if positions is None:
         return []
     k = len(q.terms)

@@ -97,19 +97,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(col, num_perm: int = 64, shingle_k: int = 3):
-    """num_perm MinHash values as array<bigint>, computed scan-side:
-    sig[i] = min over shingles of xxhash64(shingle, seed_i). Seeds are
-    baked into the expression (deterministic across runs/executors)."""
-    shingles = word_shingles(col, shingle_k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.xxhash64(s, i),
-            )
-        ),
+def minhash_signature_stage(df: DataFrame, text_col: str, id_col: str,
+                            num_perm: int = 64, shingle_k: int = 3) -> DataFrame:
+    """num_perm MinHash values as array<bigint>:
+    sig[i] = min over shingles of xxhash64(shingle, seed_i).
+
+    Implementation: explode shingles -> num_perm flat min-aggregates.
+    xxhash64 + min are whole-stage-codegen'd, while higher-order array
+    lambdas (transform/aggregate) are interpreted in Spark and ~10x
+    slower; partial aggregation collapses to one row per doc before any
+    shuffle. Seeds are plan-time literals — deterministic everywhere."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
+    )
+    mins = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)]
+    agged = exploded.groupBy("id").agg(*mins)
+    return agged.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -127,25 +132,21 @@ def minhash_lsh_candidates(
     (band, bucket-hash) key — never an all-pairs product."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, shingle_k).alias("sig"),
+    sig = minhash_signature_stage(df, text_col, id_col, num_perm, shingle_k)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * rows + j].cast("string") for j in range(rows)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice("sig", b * rows + 1, rows),
-                                                     lambda v: v.cast("string")))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -166,31 +167,31 @@ def simhash_fingerprints(
     bit i of the fingerprint = sign of sum over tokens of
     (+1 if bit i of xxhash64(token) else -1). Also emits 64/band_bits
     band keys for hamming-candidate grouping (docs sharing any exact
-    band are candidates at hamming distance <= 64 - band_bits)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    # materialize per-token hashes once; the 64 bit-sums are static
-    # Python-generated expressions over it (bit positions are plan-time
-    # constants, so every shift is a literal — stays in codegen)
-    staged = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("_hashes"),
-    )
-    def _bit_sum(i: int):
-        # two-arg lambda (pyspark passes one Column per declared param)
-        return F.aggregate(
-            F.col("_hashes"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    band are candidates at hamming distance <= 64 - band_bits).
 
-    bit_sums = [_bit_sum(i) for i in range(64)]
+    Implementation: explode tokens -> 64 flat conditional sums (codegen)
+    with map-side partial aggregation; the fingerprint is assembled from
+    the aggregated bit-sums with literal shifts. No higher-order
+    lambdas, no Python."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).select("id", F.xxhash64("_tok").alias("_h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agged = exploded.groupBy("id").agg(*sums)
     fingerprint = None
-    for i, bs in enumerate(bit_sums):
+    for i in range(64):
         bit_val = (1 << i) if i < 63 else -(1 << 63)  # avoid long overflow
-        term = F.when(bs > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
-    out = staged.select("id", fingerprint.alias("simhash"))
+    out = agged.select("id", fingerprint.alias("simhash"))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     return out.withColumn(

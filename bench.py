@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "annotate": {docs_per_sec at 5k/80k phrases, ...}}
+
+The annotate benchmark mirrors the reference's published setup
+(BASELINE.md): dictionary sizes 5k and 80k phrases, mostly-non-matching
+entries (city-name-style) so the presearcher-style prefilter is
+exercised, plus a matching subset so real match work happens.
+Reference targets: >= ~2000 docs/s (5k) and >= ~400 docs/s (80k) per
+8-core node.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_dictionary(n: int) -> list[dict]:
+    """Deterministic dictionary of n phrases: ~95% synthetic city-style
+    names (non-matching -> prefilter floor), ~5% real corpus vocabulary
+    (matching work)."""
+    vocab = [
+        "table", "scan", "hash", "join", "merge", "sort", "filter", "group",
+        "window", "stream", "batch", "spark", "query", "value", "column",
+        "order", "data", "row", "key", "agg",
+    ]
+    out = []
+    n_matching = 0
+    for i in range(n):
+        a = vocab[i % len(vocab)]
+        b = vocab[(i // len(vocab)) % len(vocab)]
+        if i % 20 == 0 and n_matching < len(vocab) * len(vocab):
+            # distinct vocab pairs only — like the reference's city-name
+            # dictionary, most entries never match a given document
+            out.append({"text": f"{a} {b}", "id": f"m{i}", "case-sensitive?": False})
+            n_matching += 1
+        else:
+            out.append(
+                {"text": f"city{i:06d} name{i % 997:04d}", "id": f"s{i}",
+                 "case-sensitive?": False}
+            )
+    return out
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    n = fn()
+    return time.monotonic() - t0, n
+
+
+def run_df(df):
+    # noop sink: full execution, no result materialization on the driver
+    return lambda: df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("beagle-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from beagle_spark import Annotator
+    from beagle_spark.queries import REGISTRY
+
+    results: dict[str, float] = {}
+    extra: dict = {}
+
+    # repartition: the testdata is a single parquet file; at real scale
+    # the scan produces many splits naturally. This only levels the
+    # local benchmark across cores.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(CPUS))
+    docs.cache()
+    n_docs = docs.count()
+    log(f"documents: {n_docs}")
+
+    # --- annotate throughput at 5k / 80k phrases (BASELINE.md headline) ---
+    # warmup: spawn the python workers & do the imports once, so the
+    # measured runs reflect steady-state throughput (what a long-running
+    # 100 TB job sees); cold time reported separately.
+    warm = Annotator(make_dictionary(100))
+    warm.annotate_df(docs).select(F.sum(F.size("annotations"))).collect()
+
+    ann_stats = {}
+    for dict_size in (5_000, 80_000):
+        t0 = time.monotonic()
+        ann = Annotator(make_dictionary(dict_size))
+        compile_s = time.monotonic() - t0
+        out = ann.annotate_df(docs).select(F.sum(F.size("annotations")).alias("n"))
+        cold_sec, res = timed(lambda: out.collect())
+        n_ann = res[0]["n"]
+        sec, _ = timed(lambda: out.collect())  # warm: broadcast already on workers
+        ann_stats[f"{dict_size // 1000}k"] = {
+            "compile_sec": round(compile_s, 3),
+            "cold_sec": round(cold_sec, 3),
+            "annotate_sec": round(sec, 3),
+            "docs_per_sec": round(n_docs / sec, 1),
+            "n_annotations": int(n_ann),
+        }
+        results[f"annotate_{dict_size // 1000}k_phrases"] = round(sec, 3)
+        log(
+            f"annotate {dict_size}: warm {sec:.2f}s -> {n_docs / sec:.0f} docs/s "
+            f"(cold {cold_sec:.2f}s, {n_ann} anns)"
+        )
+    extra["annotate"] = ann_stats
+
+    # --- registry headline queries ---
+    bench_queries = [
+        "q1_pricing_summary", "q3_region_revenue", "q5_hourly_events",
+        "q6_window_rownum", "q8_asof_last_signup",
+        "t5_dict_match_counts", "dd_exact", "dd_minhash_lsh", "dd_simhash",
+        "sim_topk", "ts_token_count", "ts_quality", "ts_fingerprint",
+    ]
+    for name in bench_queries:
+        fn, _sql = REGISTRY[name]
+        try:
+            df = fn(spark, SF_DIR)
+            sec, _ = timed(run_df(df))
+            results[name] = round(sec, 3)
+            log(f"{name}: {sec:.2f}s")
+        except Exception as e:  # keep the bench line intact on failure
+            log(f"{name}: FAILED {e}")
+            results[name] = -1.0
+
+    total = round(sum(v for v in results.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "n_docs": n_docs,
+                "cpus": int(CPUS),
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
