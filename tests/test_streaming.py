@@ -1,0 +1,70 @@
+"""Streaming surface tests: windowed annotation counts with watermark,
+and foreachBatch dictionary refresh."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beagle_spark.relational import load_events
+from beagle_spark.streaming import (
+    annotate_stream,
+    run_with_dictionary_refresh,
+    windowed_annotation_counts,
+)
+
+DICT = [{"text": "table scan", "id": "p1", "case-sensitive?": False}]
+
+
+def test_windowed_counts_batch_form(spark, sf_dir):
+    # the windowed aggregation plan works identically on a batch DF
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    # attach synthetic event times spanning 3 hours
+    docs = docs.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(mins=(F.col("doc_id") % 180).cast("int")),
+    )
+    from beagle_spark import Annotator
+
+    annotated = Annotator(DICT).annotate_df(docs)
+    out = windowed_annotation_counts(annotated, window="1 hour", watermark="2 hours")
+    rows = out.collect()
+    assert rows
+    assert all(r["n_matches"] > 0 for r in rows)
+    assert len({r["window_start"] for r in rows}) >= 2
+
+
+def test_dictionary_refresh(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    src = str(tmp_path / "stream_src")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    dicts = [
+        [{"text": "table", "id": "v1", "case-sensitive?": False}],
+        [{"text": "spark", "id": "v2", "case-sensitive?": False}],
+    ]
+    calls = {"n": 0}
+
+    def load_dictionary():
+        d = dicts[min(calls["n"], 1)]
+        calls["n"] += 1
+        return d
+
+    seen = []
+
+    def sink(df, batch_id):
+        ids = (
+            df.select(F.explode("annotations").alias("a"))
+            .select(F.col("a.dict_entry_id").alias("id"))
+            .distinct()
+            .collect()
+        )
+        seen.append({r["id"] for r in ids})
+
+    q = run_with_dictionary_refresh(
+        stream, load_dictionary, sink, refresh_every_n_batches=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert seen and seen[0] == {"v1"}
