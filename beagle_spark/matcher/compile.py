@@ -32,32 +32,51 @@ logger = logging.getLogger(__name__)
 @dataclass
 class FieldProgram:
     """All queries sharing one analysis config (== one Lucene field,
-    monitor.clj:48-59), with their candidate-pruning index."""
+    monitor.clj:48-59), with two complementary pruning structures:
+
+    - exact_index: terms-tuple -> query indexes, for slop-0 non-fuzzy
+      phrase queries (the overwhelming majority of real dictionaries).
+      Matching is a direct n-gram window probe over the document —
+      O(doc_tokens x distinct phrase lengths), independent of
+      dictionary size. This subsumes Lucene's presearcher for exact
+      phrases (stronger: zero false candidates).
+    - postings/required counter prefilter for the general queries
+      (slop/ordered), Lucene-Monitor-style; fuzzy queries bypass it
+      (`always`) since exact term presence can't prune them.
+    """
 
     conf: AnalysisConfig
     queries: list[CompiledQuery] = field(default_factory=list)
-    # presearcher: term -> tuple of query indexes into `queries`
+    exact_index: dict = field(default_factory=dict)  # terms tuple -> (qi...)
+    ngram_lengths: tuple = ()
+    general: list = field(default_factory=list)  # query idxs needing verify
     postings: dict = field(default_factory=dict)
-    # number of DISTINCT terms query i requires present (non-fuzzy)
     required: list = field(default_factory=list)
-    # query indexes that bypass the prefilter (fuzzy terms can't be
-    # pruned by exact term presence)
     always: list = field(default_factory=list)
 
     def finalize(self):
         self.required = [0] * len(self.queries)
         post: dict[str, list[int]] = {}
+        exact: dict[tuple, list[int]] = {}
         for i, q in enumerate(self.queries):
             if q.fuzzy:
                 self.always.append(i)
                 continue
+            if q.slop == 0 and not q.ordered:
+                exact.setdefault(q.terms, []).append(i)
+                continue
+            self.general.append(i)
             distinct = set(q.terms)
             self.required[i] = len(distinct)
             for t in distinct:
                 post.setdefault(t, []).append(i)
         self.postings = {t: tuple(v) for t, v in post.items()}
+        self.exact_index = {k: tuple(v) for k, v in exact.items()}
+        self.ngram_lengths = tuple(sorted({len(k) for k in exact}))
 
-    def candidates(self, token_texts: set) -> list[int]:
+    def candidates(self, token_texts) -> list[int]:
+        """Counter-prefilter candidates among the general (slop/ordered)
+        queries; fuzzy `always` entries appended."""
         counts: dict[int, int] = {}
         postings = self.postings
         for tok in token_texts:
@@ -67,6 +86,28 @@ class FieldProgram:
         out = [qi for qi, c in counts.items() if c == req[qi]]
         if self.always:
             out.extend(self.always)
+        return out
+
+    def probe_exact(self, tokens) -> list[tuple[int, int, int]]:
+        """Direct phrase-index probe: slide an n-gram window per distinct
+        phrase length; emit (query_idx, begin_pos, end_pos) matches."""
+        out = []
+        texts = [t.text for t in tokens]
+        n_tok = len(texts)
+        idx = self.exact_index
+        for n in self.ngram_lengths:
+            if n == 1:
+                for pos, txt in enumerate(texts):
+                    qis = idx.get((txt,))
+                    if qis:
+                        for qi in qis:
+                            out.append((qi, pos, pos))
+            elif n <= n_tok:
+                for pos in range(n_tok - n + 1):
+                    qis = idx.get(tuple(texts[pos : pos + n]))
+                    if qis:
+                        for qi in qis:
+                            out.append((qi, pos, pos + n - 1))
         return out
 
 
@@ -209,25 +250,35 @@ def match_text(text: str, cd: CompiledDictionary, merge: bool | None = None) -> 
         tokens = analyze(text, prog.conf)
         if not tokens:
             continue
-        index = build_token_index(tokens)
-        for qi in prog.candidates(index.keys()):
-            q = prog.queries[qi]
-            for begin, end in find_matches(tokens, q, index):
-                # post-process (phrases.clj:217-226): synonym hits
-                # re-attributed to the parent entry id; `_type` never
-                # leaks (we never put it in meta).
-                meta = q.meta
-                entry_id = meta.get("query-id", q.query_id) if meta else q.query_id
-                out.append(
-                    {
-                        "text": text[begin:end],
-                        "type": q.type if q.type is not None else cd.type_name,
-                        "dict_entry_id": entry_id,
-                        "meta": meta,
-                        "begin_offset": begin,
-                        "end_offset": end,
-                    }
-                )
+
+        def emit(q, begin: int, end: int):
+            # post-process (phrases.clj:217-226): synonym hits
+            # re-attributed to the parent entry id; `_type` never
+            # leaks (we never put it in meta).
+            meta = q.meta
+            entry_id = meta.get("query-id", q.query_id) if meta else q.query_id
+            out.append(
+                {
+                    "text": text[begin:end],
+                    "type": q.type if q.type is not None else cd.type_name,
+                    "dict_entry_id": entry_id,
+                    "meta": meta,
+                    "begin_offset": begin,
+                    "end_offset": end,
+                }
+            )
+
+        # fast path: exact-phrase window probe (no per-query work)
+        for qi, p0, p1 in prog.probe_exact(tokens):
+            emit(prog.queries[qi], tokens[p0].begin, tokens[p1].end)
+
+        # general path: counter prefilter + positional verification
+        if prog.general or prog.always:
+            index = build_token_index(tokens)
+            for qi in prog.candidates(index.keys()):
+                q = prog.queries[qi]
+                for begin, end in find_matches(tokens, q, index):
+                    emit(q, begin, end)
     if cd.merge_annotations if merge is None else merge:
         out = merge_same_type_annotations(out)
     return out
