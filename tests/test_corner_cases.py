@@ -1,0 +1,63 @@
+"""Tokenization robustness over messy real-world-ish text (reference:
+test/beagle/corner_case_phrases_test.clj — HTML-extracted text must
+produce ZERO false positives for a phrase that isn't there)."""
+
+import re
+
+from beagle_spark import highlighter
+
+# Representative of Jsoup-extracted marketing/product HTML text: entity
+# leftovers, hyphenated product names, punctuation runs, URLs, unicode.
+HTML_DOC = """
+<html><head><title>IT Management &amp; Monitoring</title></head><body>
+<h1>Remote Monitoring &amp; Management</h1>
+<p>Try N-able&trade; RMM — the all-in-one platform. Version 12.3.1
+supports Windows&reg;, macOS&trade; and Linux. Pricing from $99/month.</p>
+<p>Contact sales@example.com or visit https://example.com/products?id=42&amp;x=1.</p>
+<p>Die L&ouml;sung f&uuml;r zentrale Verwaltung — jetzt testen!</p>
+<ul><li>Patch-Management</li><li>Backup &amp; Recovery</li>
+<li>Antivirus (AV) — integriert</li></ul>
+</body></html>
+"""
+
+
+def strip_html(html: str) -> str:
+    text = re.sub(r"<[^>]+>", " ", html)
+    entities = {"&amp;": "&", "&trade;": "™", "&reg;": "®",
+                "&ouml;": "ö", "&uuml;": "ü"}
+    for k, v in entities.items():
+        text = text.replace(k, v)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def test_no_false_positives_on_html_text():
+    text = strip_html(HTML_DOC)
+    hl = highlighter([{"text": "N-Able N-Central", "case-sensitive?": False}])
+    assert hl(text) == []
+
+
+def test_true_positive_on_html_text():
+    text = strip_html(HTML_DOC)
+    hl = highlighter([{"text": "Patch Management", "case-sensitive?": False}])
+    anns = hl(text)
+    assert len(anns) == 1
+    assert anns[0]["text"] == "Patch-Management"
+
+
+def test_unicode_offsets():
+    # non-ASCII text: offsets are CHARACTER offsets (java_test.clj:10-14)
+    text = "Savanorėlio g. 12, Kaunas — Lietuva"
+    hl = highlighter([{"text": "Kaunas"}])
+    anns = hl(text)
+    assert len(anns) == 1
+    assert text[anns[0]["begin_offset"] : anns[0]["end_offset"]] == "Kaunas"
+
+
+def test_emoji_and_cjk():
+    text = "launch \U0001f680 rocket 中文测试 done"
+    hl = highlighter([{"text": "rocket"}])
+    anns = hl(text)
+    assert anns and anns[0]["text"] == "rocket"
+    hl = highlighter([{"text": "中文测试"}])
+    anns = hl(text)
+    assert anns and anns[0]["text"] == "中文测试"
