@@ -179,3 +179,18 @@ def annotate_df(
 ) -> DataFrame:
     """One-shot convenience: annotate `df[text_col]` with `dictionary`."""
     return Annotator(dictionary, opts).annotate_df(df, text_col, output_col)
+
+
+def register_sql_function(
+    spark: SparkSession,
+    dictionary,
+    name: str = "beagle_annotate",
+    opts: dict | None = None,
+) -> Annotator:
+    """Expose the annotator to Spark SQL:
+    ``SELECT beagle_annotate(text) FROM docs`` (SURVEY.md section 2
+    Part B: the matcher as a UDF surface). The dictionary is bound at
+    registration; returns the Annotator for re-registration on refresh."""
+    ann = Annotator(dictionary, opts)
+    spark.udf.register(name, ann.udf(spark))
+    return ann
