@@ -255,3 +255,88 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
   ON e.user_id = s.user_id AND e.ts >= s.ts
 ORDER BY e.event_id
 """
+
+
+def q9_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min inactivity gap) per user — the batch
+    form of Spark's session_window; in streaming this is the built-in
+    stateful session aggregation (state bounded by watermark). The
+    DuckDB oracle derives sessions relationally (lag + running sum of
+    gap breaks) — same semantics, engine-neutral."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q9_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def q10_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large x medium join: lineitem x part with aggregation pushed
+    below the join where possible. At real SF part is too big to
+    broadcast — pre-aggregate lineitem by partkey FIRST (shrinks the
+    fact side to one row per key), then join; AQE picks the strategy."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    li_agg = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        li_agg.join(part, li_agg.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("revenue"), 2).alias("brand_revenue"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+        .orderBy(F.desc("brand_revenue"), "p_brand")
+    )
+
+
+Q10_SQL = """
+WITH li_agg AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       round(sum(revenue), 2) AS brand_revenue,
+       sum(n_lines) AS n_lines
+FROM li_agg JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY brand_revenue DESC, p_brand
+"""
