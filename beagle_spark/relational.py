@@ -310,9 +310,9 @@ def q10_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     li_agg = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        # no intermediate rounding: double-rounding cascades amplify
+        # cross-engine float noise at the final round boundary
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     return (
@@ -329,7 +329,7 @@ def q10_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 WITH li_agg AS (
   SELECT l_partkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue,
          count(*) AS n_lines
   FROM lineitem GROUP BY l_partkey
 )
