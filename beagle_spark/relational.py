@@ -340,3 +340,40 @@ FROM li_agg JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY brand_revenue DESC, p_brand
 """
+
+
+def q11_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier x nation rollup with a having-filter on the aggregate —
+    exercises the last unused table; nation broadcast."""
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    li_per_supp = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(li_per_supp, sup.s_suppkey == li_per_supp.l_suppkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+            F.sum(F.coalesce("n_lines", F.lit(0))).alias("total_lines"),
+        )
+        .where(F.col("n_suppliers") > 1)
+        .orderBy("n_name")
+    )
+
+
+Q11_SQL = """
+WITH li_per_supp AS (
+  SELECT l_suppkey, count(*) AS n_lines FROM lineitem GROUP BY l_suppkey
+)
+SELECT n_name, count(*) AS n_suppliers,
+       round(avg(s_acctbal), 2) AS avg_acctbal,
+       sum(coalesce(n_lines, 0)) AS total_lines
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+LEFT JOIN li_per_supp ON s_suppkey = l_suppkey
+GROUP BY n_name
+HAVING count(*) > 1
+ORDER BY n_name
+"""

@@ -1,0 +1,98 @@
+"""Dedup & similarity quality tests: LSH candidates vs exact Jaccard,
+simhash hamming behavior, ANN vs brute force, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beagle_spark.ops import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.01"  # 500 docs — planted near-duplicates exist
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_near_duplicates(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-duplicates"
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    # recall: at jaccard >= 0.8 with 16 bands x 4 rows, P(candidate) =
+    # 1-(1-j^4)^16 >= 0.999 — every true pair must surface
+    assert exact <= cands
+    # precision: candidates shouldn't explode (banding, not all-pairs)
+    assert len(cands) < 50 * max(1, len(exact))
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    exact = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.9)
+    fp = dedup.simhash_fingerprints(docs).select("id", "simhash")
+    joined = (
+        exact.join(fp.withColumnRenamed("id", "id_a").withColumnRenamed("simhash", "h_a"), "id_a")
+        .join(fp.withColumnRenamed("id", "id_b").withColumnRenamed("simhash", "h_b"), "id_b")
+        .select(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .collect()
+    )
+    assert joined
+    assert all(r["hamming"] <= 12 for r in joined)  # near-dups cluster tightly
+
+
+def test_lsh_ann_equals_bruteforce_within_bucket(spark, emb):
+    import numpy as np
+
+    row = emb.where(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    planes = similarity.make_planes(len(q), n_planes=6, seed=42)
+    qarr = np.array(q)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qarr, np.array(p))) > 0:
+            qbucket |= 1 << i
+    bucket_members = emb.withColumn(
+        "_b", similarity.hyperplane_bucket(F.col("embedding"), planes)
+    ).where(F.col("_b") == qbucket)
+    expected = sorted(
+        r["vec_id"] for r in similarity.brute_force_topk(bucket_members, q, k=10).collect()
+    )
+    got = sorted(r["vec_id"] for r in similarity.lsh_ann_topk(emb, q, k=10).collect())
+    assert got == expected
+    assert 0 in got  # the query vector shares its own bucket
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    media = multimodal.synthesize_media_from_docs(docs.limit(50))
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 8
+        norm = sum(x * x for x in r["feature"])
+        assert abs(norm - 1.0) < 1e-3  # L2-normalized
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes", "png")
+
+
+def test_frame_sample_plan(spark):
+    rows = [
+        (1, "video", None, "fake", None, None, 3500),
+        (2, "image", None, "fake", 64, 64, None),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    got = sorted((r["media_id"], r["frame_ts_ms"]) for r in out)
+    assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
