@@ -66,6 +66,29 @@ def windowed_annotation_counts(
     )
 
 
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose normalized-text hash
+    was already seen within the watermark horizon. Uses Spark's stateful
+    dropDuplicates — state is GC'd past the watermark, so memory is
+    bounded by (arrival rate x horizon), not stream length."""
+    hashed = stream_df.withColumn(
+        "_text_hash",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").cast("binary")
+        ),
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicates(["_text_hash"])
+        .drop("_text_hash")
+    )
+
+
 def run_with_dictionary_refresh(
     stream_df: DataFrame,
     load_dictionary: Callable[[], list[dict]],

@@ -139,9 +139,13 @@ def main():
         fn, _sql = REGISTRY[name]
         try:
             df = fn(spark, SF_DIR)
-            sec, _ = timed(run_df(df))
+            sec1, _ = timed(run_df(df))
+            # min of two runs: first pays codegen/scan warmup; on a
+            # shared box this also damps scheduler noise
+            sec2, _ = timed(run_df(df)) if sec1 < 30 else (sec1, None)
+            sec = min(sec1, sec2)
             results[name] = round(sec, 3)
-            log(f"{name}: {sec:.2f}s")
+            log(f"{name}: {sec:.2f}s (cold {sec1:.2f}s)")
         except Exception as e:  # keep the bench line intact on failure
             log(f"{name}: FAILED {e}")
             results[name] = -1.0

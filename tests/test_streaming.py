@@ -68,3 +68,34 @@ def test_dictionary_refresh(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert seen and seen[0] == {"v1"}
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    from pyspark.sql import Row
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(doc_id=1, text="hello world", ts=base),
+        Row(doc_id=2, text="HELLO   world", ts=base + datetime.timedelta(minutes=1)),
+        Row(doc_id=3, text="different", ts=base + datetime.timedelta(minutes=2)),
+    ]
+    src = str(tmp_path / "dedup_src")
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    from beagle_spark.streaming import stream_exact_dedup
+
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    out = spark.sql("SELECT doc_id FROM dedup_stream").collect()
+    q.stop()
+    ids = sorted(r["doc_id"] for r in out)
+    # doc 2 normalizes to the same text as doc 1 -> dropped
+    assert 3 in ids and len(ids) == 2
