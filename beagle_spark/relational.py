@@ -377,3 +377,31 @@ GROUP BY n_name
 HAVING count(*) > 1
 ORDER BY n_name
 """
+
+
+def q12_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear interpolation). The 100 TB variant
+    swaps in percentile_approx (t-digest sketch, mergeable, one pass);
+    exact percentile is the oracle-comparable form."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q12_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
