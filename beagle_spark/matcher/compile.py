@@ -145,12 +145,35 @@ def _prepare_synonyms(query_id: str, entry: DictionaryEntry) -> list[DictionaryE
     return out
 
 
+def _conf_for(entry: DictionaryEntry, default_conf: dict, cache: dict) -> AnalysisConfig:
+    """Per-entry analysis config with memoization — dictionaries have
+    few distinct configs (the reference memoizes analyzers the same
+    way, text_analysis.clj:98-99)."""
+    key = (entry.tokenizer, entry.case_sensitive, entry.ascii_fold, entry.stem,
+           entry.stemmer)
+    conf = cache.get(key)
+    if conf is None:
+        conf = merge_config(
+            {
+                "tokenizer": entry.tokenizer,
+                "case_sensitive": entry.case_sensitive,
+                "ascii_fold": entry.ascii_fold,
+                "stem": entry.stem,
+                "stemmer": entry.stemmer,
+            },
+            default_conf,
+        )
+        cache[key] = conf
+    return conf
+
+
 def _compile_entry(
     entry: DictionaryEntry,
     default_conf: dict,
     idx,
+    conf_cache: dict,
 ) -> tuple[AnalysisConfig, CompiledQuery] | None:
-    conf = merge_config(entry.to_dict(), default_conf)
+    conf = _conf_for(entry, default_conf, conf_cache)
     terms = tuple(t.text for t in analyze(entry.text or "", conf))
     if not terms:
         # 0-token entries discarded with a warning (phrases.clj:204)
@@ -207,6 +230,7 @@ def compile_dictionary(
         (k.replace("-", "_").rstrip("?")): v for k, v in (default_conf or {}).items()
     }
     by_conf: dict[AnalysisConfig, FieldProgram] = {}
+    conf_cache: dict = {}
     entries = [
         e if isinstance(e, DictionaryEntry) else DictionaryEntry.from_dict(e)
         for e in dictionary
@@ -214,10 +238,11 @@ def compile_dictionary(
     for idx, entry in enumerate(entries):
         query_id = entry.id if entry.id is not None else str(idx)
         todo = [(entry, idx)]
-        todo.extend((syn, None) for syn in _prepare_synonyms(str(query_id), entry))
+        if entry.synonyms:
+            todo.extend((syn, None) for syn in _prepare_synonyms(str(query_id), entry))
         for ent, i in todo:
             try:
-                compiled = _compile_entry(ent, default_conf, i)
+                compiled = _compile_entry(ent, default_conf, i, conf_cache)
             except Exception:  # per-query failure isolation (monitor.clj:41-46)
                 logger.exception("Failed to compile dictionary entry %r", ent)
                 compiled = None
