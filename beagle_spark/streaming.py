@@ -66,6 +66,54 @@ def windowed_annotation_counts(
     )
 
 
+def stateful_match_totals(
+    exploded_annotations: DataFrame,
+    timeout_minutes: int = 0,
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    running total of matches per dictionary entry across micro-batches
+    (what the reference's users script around the library by hand).
+
+    State per dict_entry_id is a single counter — O(#dictionary) total
+    state, independent of stream length. An optional processing-time
+    timeout expires idle entries. Input: the exploded annotation stream
+    (explode=True), needing columns dict_entry_id (+ any)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    out_schema = StructType(
+        [
+            StructField("dict_entry_id", StringType()),
+            StructField("total_matches", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"dict_entry_id": [key[0]], "total_matches": [n]})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return exploded_annotations.groupBy("dict_entry_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
 def stream_exact_dedup(
     stream_df: DataFrame,
     text_col: str = "text",

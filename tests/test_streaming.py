@@ -99,3 +99,47 @@ def test_stream_exact_dedup(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in out)
     # doc 2 normalizes to the same text as doc 1 -> dropped
     assert 3 in ids and len(ids) == 2
+
+
+def test_stateful_match_totals(spark, sf_dir, tmp_path):
+    from beagle_spark.streaming import annotate_stream, stateful_match_totals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    src = str(tmp_path / "state_src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    exploded = annotate_stream(stream, DICT, explode=True)
+    totals = stateful_match_totals(exploded)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("totals_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT dict_entry_id, max(total_matches) AS n FROM totals_stream GROUP BY 1"
+    ).collect()
+    q.stop()
+
+    # running totals must converge to the batch ground truth
+    from beagle_spark import Annotator
+
+    batch = (
+        Annotator(DICT)
+        .explode(docs, keep_cols=["doc_id"])
+        .groupBy("dict_entry_id")
+        .count()
+        .collect()
+    )
+    expected = {r["dict_entry_id"]: r["count"] for r in batch}
+    got = {r["dict_entry_id"]: r["n"] for r in rows}
+    assert got == expected
