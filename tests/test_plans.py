@@ -65,3 +65,49 @@ def test_topk_is_take_ordered(spark):
     q = [0.1] * 64
     plan = plan_of(brute_force_topk(emb, q, k=10))
     assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    from beagle_spark.ops.rollup import bucketed_join, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 4
+        )
+        write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 4)
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "k")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan  # co-located: bucketing replaced the shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_rollup_merge_equals_direct(spark):
+    from beagle_spark.ops.rollup import build_rollup, merge_rollups, query_rollup
+    from beagle_spark.relational import load_events
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    # split into two "ingests", roll up each, merge, query
+    r1 = build_rollup(ev.where(F.col("event_id") % 2 == 0), "ts", ["event_type"], "value")
+    r2 = build_rollup(ev.where(F.col("event_id") % 2 == 1), "ts", ["event_type"], "value")
+    merged = query_rollup(merge_rollups(r1, r2), ["event_type"]).orderBy("event_type")
+    direct = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("total"),
+            F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("avg_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in merged.collect()] == [tuple(r) for r in direct.collect()]
