@@ -8,7 +8,9 @@ training-data-pipeline surface (dedup, similarity, text stats) a
 100 TB corpus needs.
 """
 
-from .annotator import Annotator, annotate_df, annotator, highlighter
+from . import io, ops, streaming  # noqa: F401
+from .annotator import (Annotator, annotate_df, annotator, highlighter,
+                        register_sql_function)
 from .matcher import compile_dictionary, match_text
 from .schema import ANNOTATION_STRUCT, ANNOTATIONS_TYPE, Annotation, DictionaryEntry
 
@@ -19,6 +21,10 @@ __all__ = [
     "annotate_df",
     "annotator",
     "highlighter",
+    "register_sql_function",
+    "io",
+    "ops",
+    "streaming",
     "compile_dictionary",
     "match_text",
     "DictionaryEntry",
