@@ -140,6 +140,32 @@ WHERE regexp_matches(text, '{_WB}table{_WE}')
 """
 
 
+def t7_lucene_sql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene boolean query compiled to a PURE-JVM Spark Column predicate
+    over a token array (no Python in the hot path) — the Spark-first
+    fast path for phrase-free query strings (SURVEY.md A21)."""
+    from .analysis import merge_config
+    from .lucene_query import parse_query, to_spark_predicate
+
+    conf = merge_config({}, {})
+    node = parse_query("table AND (spark OR merge) AND NOT vector", conf)
+    docs = _docs(spark, sf_dir).withColumn(
+        "_tokens", F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z0-9]+"), 0)
+    )
+    return docs.where(to_spark_predicate(node, F.col("_tokens"))).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+T7_SQL = f"""
+SELECT count(*) AS n_docs FROM documents
+WHERE regexp_matches(text, '{_WB}table{_WE}')
+  AND (regexp_matches(text, '{_WB}spark{_WE}')
+       OR regexp_matches(text, '{_WB}merge{_WE}'))
+  AND NOT regexp_matches(text, '{_WB}vector{_WE}')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup surface
 # ---------------------------------------------------------------------------
@@ -385,6 +411,7 @@ REGISTRY: dict = {
     "t4_phrase_offsets": (t4_phrase_offsets, T4_SQL),
     "t5_dict_match_counts": (t5_dict_match_counts, T5_SQL),
     "t6_lucene_bool": (t6_lucene_bool, T6_SQL),
+    "t7_lucene_sql_path": (t7_lucene_sql_path, T7_SQL),
     # dedup
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),

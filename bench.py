@@ -131,7 +131,8 @@ def main():
     # --- registry headline queries ---
     bench_queries = [
         "q1_pricing_summary", "q3_region_revenue", "q5_hourly_events",
-        "q6_window_rownum", "q8_asof_last_signup",
+        "q6_window_rownum", "q8_asof_last_signup", "q9_session_windows",
+        "q10_part_revenue", "q12_value_quantiles", "t7_lucene_sql_path",
         "t5_dict_match_counts", "dd_exact", "dd_minhash_lsh", "dd_simhash",
         "sim_topk", "ts_token_count", "ts_quality", "ts_fingerprint",
     ]
