@@ -13,11 +13,18 @@ oracle_sql()   — exactly-equivalent DuckDB SQL per query where the
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from beagle_spark.queries import REGISTRY
+# ensure the package resolves when this file is imported by path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from beagle_spark.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
