@@ -189,15 +189,23 @@ def _match_sloppy(positions: list[list[int]], slop: int) -> list[tuple[int, int]
     return spans
 
 
+# Backtracking node budget per anchor: the window bound (slop + k)
+# keeps realistic cases tiny, but adversarial documents full of one
+# repeated token could explode the search; bail out (miss) past this.
+_MAX_ASSIGN_NODES = 200_000
+
+
 def _assign(cand: list[list[int]], s: int, slop: int, k: int):
     """Find an injective assignment p_i in cand[i], min(p)=s, adjusted
     spread <= slop; return (min_pos, max_pos) of the tightest found."""
     used: set[int] = set()
     best: list[Optional[tuple[int, int]]] = [None]
+    budget = [_MAX_ASSIGN_NODES]
 
     def rec(i: int, lo_adj: int, hi_adj: int, saw_s: bool):
-        if best[0] is not None:
+        if best[0] is not None or budget[0] <= 0:
             return
+        budget[0] -= 1
         if hi_adj - lo_adj > slop:
             return
         if i == k:
@@ -261,10 +269,12 @@ def _assign_any(cand: list[list[int]], s: int, k: int):
     the spread. Returns (min_pos, max_pos) or None."""
     used: set[int] = set()
     best: list[Optional[tuple[int, int]]] = [None]
+    budget = [_MAX_ASSIGN_NODES]
 
     def rec(i: int, saw_s: bool):
-        if best[0] is not None:
+        if best[0] is not None or budget[0] <= 0:
             return
+        budget[0] -= 1
         if i == k:
             if saw_s:
                 best[0] = (min(used), max(used))
