@@ -111,6 +111,47 @@ def lsh_ann_topk(
     return brute_force_topk(cands, query, k, vec_col, id_col)
 
 
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup: bucket by random hyperplanes,
+    self-join WITHIN buckets only, exact cosine re-check. One equi-join
+    shuffle on bucket id instead of an all-pairs product. Recall < 1 by
+    construction (cross-bucket pairs are missed); raise recall with
+    fewer planes or multiple plane sets (union of bucketings)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = make_planes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn(
+            "cos",
+            _dot(F.col("l.v"), F.col("r.v")) / (_norm(F.col("l.v")) * _norm(F.col("r.v"))),
+        )
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.45,

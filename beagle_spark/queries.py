@@ -271,6 +271,18 @@ ORDER BY id_a, id_b
 """
 
 
+def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (scale path; recall<1 by design ->
+    rows-only check, subset property asserted in tests)."""
+    return (
+        similarity.lsh_cosine_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.4, dim=64
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = _query_vec(spark, sf_dir, 0)
@@ -421,6 +433,7 @@ REGISTRY: dict = {
     "sim_topk": (sim_topk, SIM_TOPK_SQL),
     "sim_cos_pairs": (sim_cos_pairs, SIM_PAIRS_SQL),
     "sim_lsh_ann": (sim_lsh_ann, None),
+    "sim_lsh_pairs": (sim_lsh_pairs, None),
     # text stats
     "ts_token_count": (ts_token_count, TS_TOKEN_SQL),
     "ts_quality": (ts_quality, TS_QUALITY_SQL),

@@ -96,3 +96,19 @@ def test_frame_sample_plan(spark):
     out = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     got = sorted((r["media_id"], r["frame_ts_ms"]) for r in out)
     assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
+
+
+def test_lsh_pairs_subset_of_exact(spark, emb):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_cosine_pairs(emb, threshold=0.4, dim=64).collect()
+    }
+    assert lsh <= exact  # no false positives (exact re-check in-bucket)
+    if exact:
+        # recall with 4 planes: same-bucket prob for cos>=0.4 pairs is
+        # (1 - theta/pi)^4 ~ 0.25+; just require non-trivial overlap
+        assert len(lsh) > 0
