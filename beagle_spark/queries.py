@@ -166,6 +166,33 @@ WHERE regexp_matches(text, '{_WB}table{_WE}')
 """
 
 
+def t8_matches_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotate -> relational composition: matched (doc, entry) pairs
+    rolled up by document source — the "switch your pipeline to this
+    engine" shape (annotations feeding plain Spark SQL)."""
+    ann = Annotator(
+        [{"text": t, "id": t, "case-sensitive?": False} for t in T5_TERMS]
+    )
+    ex = ann.explode(_docs(spark, sf_dir), keep_cols=["doc_id", "source"])
+    return (
+        ex.select("doc_id", "source", "dict_entry_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_doc_term_matches"))
+        .orderBy("source")
+    )
+
+
+T8_SQL = f"""
+SELECT d.source, count(*) AS n_doc_term_matches
+FROM documents d
+JOIN (VALUES {", ".join(f"('{t}')" for t in T5_TERMS)}) q(term)
+  ON regexp_matches(lower(d.text), '{_WB}' || q.term || '{_WE}')
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup surface
 # ---------------------------------------------------------------------------
@@ -424,6 +451,7 @@ REGISTRY: dict = {
     "t5_dict_match_counts": (t5_dict_match_counts, T5_SQL),
     "t6_lucene_bool": (t6_lucene_bool, T6_SQL),
     "t7_lucene_sql_path": (t7_lucene_sql_path, T7_SQL),
+    "t8_matches_by_source": (t8_matches_by_source, T8_SQL),
     # dedup
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
