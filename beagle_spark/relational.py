@@ -95,9 +95,11 @@ ORDER BY o_orderpriority
 
 
 def q3_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way equi-join; dims broadcast (they're tiny at any SF —
-    nation/region are fixed-size, customer ~ SF*150k: broadcast the
-    dimension chain, shuffle only orders)."""
+    """Multi-way equi-join. Only the FIXED-SIZE dims (nation: 25 rows,
+    region: 5 rows) carry explicit broadcast hints; customer grows with
+    SF, so its join strategy is left to the planner/AQE — broadcast at
+    test scale, shuffled hash/SMJ at 100 TB. Hinting it would pin a
+    plan that breaks at scale."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -109,7 +111,7 @@ def q3_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name")
     )
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -132,7 +134,8 @@ def q4_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # no broadcast hint: customer is SF-proportional; AQE picks
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
         .orderBy("c_mktsegment")
