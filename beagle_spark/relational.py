@@ -35,7 +35,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes)["ts"] == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # parquet NANOS is isAdjustedToUTC=false (wall clock): build a
+        # TIMESTAMP_NTZ so results are independent of the session
+        # timezone (DuckDB's TIMESTAMP is also naive) — collected
+        # values then hash-match regardless of driver TZ config.
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            raw = raw.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+            # force analysis while the TZ pin is active; the cast is
+            # folded with UTC semantics into the resolved plan
+            raw.schema
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return raw
 
 
@@ -228,7 +243,7 @@ def q8_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").alias("signup_ts")
     )
     tagged = ev.select(
-        "user_id", "ts", "event_id", "event_type", F.lit(None).cast("timestamp").alias("signup_ts")
+        "user_id", "ts", "event_id", "event_type", F.lit(None).cast("timestamp_ntz").alias("signup_ts")
     ).unionByName(
         signups.select(
             "user_id",
