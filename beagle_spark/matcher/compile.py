@@ -88,6 +88,11 @@ class FieldProgram:
             out.extend(self.always)
         return out
 
+    # NOTE: we deliberately ship the derived pruning structures in the
+    # broadcast rather than rebuilding them per worker — measured: the
+    # rebuild (0.9s at 80k entries) costs more than the ~13% payload
+    # saving is worth for worker cold-start.
+
     def probe_exact(self, tokens) -> list[tuple[int, int, int]]:
         """Direct phrase-index probe: slide an n-gram window per distinct
         phrase length; emit (query_idx, begin_pos, end_pos) matches."""

@@ -126,6 +126,7 @@ def main():
             f"annotate {dict_size}: warm {sec:.2f}s -> {n_docs / sec:.0f} docs/s "
             f"(cold {cold_sec:.2f}s, {n_ann} anns)"
         )
+    ann_stats["targets_docs_per_sec"] = {"5k": 2000, "80k": 400}  # BASELINE.md 2x gate
     extra["annotate"] = ann_stats
 
     # --- registry headline queries ---

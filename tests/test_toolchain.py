@@ -211,3 +211,25 @@ def test_validator_cli(tmp_path):
     assert main([str(bad), "json"]) == 1
     assert main([str(good)]) == 1  # odd arg count
     assert main([str(good), "xml"]) == 1  # unsupported type
+
+
+def test_compile_error_isolation():
+    """A bad dictionary entry is logged and skipped; the rest compile
+    (reference: monitor.clj:34-46 per-query fallback)."""
+    from beagle_spark.matcher import compile_dictionary
+
+    class Exploding:
+        def __str__(self):
+            raise RuntimeError("boom")
+
+    cd = compile_dictionary(
+        [
+            {"text": "good entry", "id": "ok"},
+            {"text": "x", "id": Exploding()},  # str(id) raises in compile
+            {"text": "", "id": "blank"},  # 0 tokens -> discarded with warning
+        ]
+    )
+    assert cd.n_queries == 1
+    from beagle_spark.matcher import match_text
+
+    assert match_text("a good entry here", cd)[0]["dict_entry_id"] == "ok"
