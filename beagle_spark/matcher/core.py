@@ -122,14 +122,30 @@ def _positions_exact(index: dict, terms: tuple[str, ...]):
     return out
 
 
+# worker-local memo for fuzzy term<->token decisions: dictionary terms
+# are fixed and corpus vocabulary repeats heavily across documents, so
+# the same (term, token) pair is re-tested constantly. Bounded: cleared
+# wholesale when it grows past the cap (simple, GC-friendly).
+_FUZZY_MEMO: dict = {}
+_FUZZY_MEMO_CAP = 1_000_000
+
+
 def _positions_fuzzy(index: dict, terms: tuple[str, ...], max_edits: int):
     """Fuzzy slot positions: token within DL distance <= max_edits of the
-    term. Distance computed once per DISTINCT doc token per term."""
+    term. Distance computed once per DISTINCT doc token per term, memoized
+    across documents."""
+    memo = _FUZZY_MEMO
+    if len(memo) > _FUZZY_MEMO_CAP:
+        memo.clear()
     out = []
     for term in terms:
         plist: list[int] = []
         for tok_text, positions in index.items():
-            if dl_distance_leq(term, tok_text, max_edits):
+            key = (term, tok_text, max_edits)
+            hit = memo.get(key)
+            if hit is None:
+                hit = memo[key] = dl_distance_leq(term, tok_text, max_edits)
+            if hit:
                 plist.extend(positions)
         if not plist:
             return None
