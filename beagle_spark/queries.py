@@ -443,6 +443,8 @@ REGISTRY: dict = {
     "q10_part_revenue": (R.q10_part_revenue, R.Q10_SQL),
     "q11_supplier_balance": (R.q11_supplier_balance, R.Q11_SQL),
     "q12_value_quantiles": (R.q12_value_quantiles, R.Q12_SQL),
+    "q13_custdist": (R.q13_custdist, R.Q13_SQL),
+    "q14_inactive_customers": (R.q14_inactive_customers, R.Q14_SQL),
     # text-match surface (beagle core)
     "t1_term_match": (t1_term_match, T1_SQL),
     "t2_term_ci": (t2_term_ci, T2_SQL),
