@@ -422,6 +422,14 @@ def get_stemmer(lang: str):
         pass
     if lang == "english":
         return porter2_stem
+    if lang == "german":
+        from .snowball_de import german_stem
+
+        return german_stem
+    if lang == "german2":
+        from .snowball_de import german2_stem
+
+        return german2_stem
     if lang in ("porter", "lovins"):
         # :porter is the original 1980 Porter algorithm; lovins has no
         # pure-Python implementation here — porter is the closest

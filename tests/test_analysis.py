@@ -133,3 +133,29 @@ def test_analyze_offsets_survive_filters():
     for t in analyze(txt, conf):
         assert 0 <= t.begin < t.end <= len(txt)
     assert [t.text for t in analyze(txt, conf)] == ["the", "dog", "were", "run", "fast"]
+
+
+def test_german_stemmer():
+    from beagle_spark.analysis.snowball_de import german2_stem, german_stem
+
+    cases = {
+        "häuser": "haus", "hauses": "haus", "haus": "haus",
+        "aufeinander": "aufeinand", "abende": "abend", "abends": "abend",
+        "kategorien": "kategori", "deutschen": "deutsch",
+        "schönheit": "schonheit", "arbeiten": "arbeit",
+        "bücher": "buch", "mädchen": "madch",
+        "ergebnisse": "ergebnis",  # niss rule
+    }
+    for w, expected in cases.items():
+        assert german_stem(w) == expected, w
+    # german2 folds ae/oe to umlauts first
+    assert german2_stem("haeuser") == german_stem("häuser")
+
+
+def test_german_matching_end_to_end():
+    from beagle_spark import highlighter
+
+    hl = highlighter([{"text": "Haus", "id": "1", "stem?": True,
+                       "stemmer": "german", "case-sensitive?": False}])
+    anns = hl("die häuser dort")
+    assert len(anns) == 1 and anns[0]["text"] == "häuser"
