@@ -111,3 +111,43 @@ def test_rollup_merge_equals_direct(spark):
         .orderBy("event_type")
     )
     assert [tuple(r) for r in merged.collect()] == [tuple(r) for r in direct.collect()]
+
+
+def test_salted_join_row_identical(spark):
+    from beagle_spark.ops.skew import salted_count, salted_join
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # nanos ts unused here; keep columns simple
+    facts = ev.select("event_id", "user_id", "event_type")
+    dims = facts.select("user_id").distinct().withColumn(
+        "segment", F.pmod("user_id", F.lit(3))
+    )
+    plain = facts.join(dims, "user_id").orderBy("event_id")
+    salted = salted_join(facts, dims, "user_id", n_salts=4,
+                         salt_source="event_id").orderBy("event_id")
+    assert sorted(plain.columns) == sorted(salted.columns)
+    cols = sorted(plain.columns)
+    assert [tuple(r[c] for c in cols) for r in plain.collect()] == [
+        tuple(r[c] for c in cols) for r in salted.collect()
+    ]
+
+    counted = {r["user_id"]: r["n"] for r in salted_count(facts, "user_id").collect()}
+    direct = {
+        r["user_id"]: r["count"]
+        for r in facts.groupBy("user_id").count().collect()
+    }
+    assert counted == direct
+
+
+def test_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").drop("ts")
+    path = str(tmp_path / "ev_by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+    q = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = plan_of(q)
+    # the partition filter must reach the scan: only one partition read
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert q.count() == ev.where(F.col("event_type") == "click").count()
