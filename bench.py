@@ -110,10 +110,19 @@ def main():
         t0 = time.monotonic()
         ann = Annotator(make_dictionary(dict_size))
         compile_s = time.monotonic() - t0
-        out = ann.annotate_df(docs).select(F.sum(F.size("annotations")).alias("n"))
-        cold_sec, res = timed(lambda: out.collect())
+        # NOTE: each measurement uses a DIFFERENT map-side expression —
+        # re-collecting an identical plan would silently reuse the
+        # completed shuffle map stage and time only the final reduce.
+        out0 = ann.annotate_df(docs).select(
+            F.sum(F.size("annotations")).alias("n")
+        )
+        cold_sec, res = timed(lambda: out0.collect())
         n_ann = res[0]["n"]
-        sec, _ = timed(lambda: out.collect())  # warm: broadcast already on workers
+        out1 = ann.annotate_df(docs).select(
+            (F.sum(F.size("annotations") + 1) - F.lit(n_docs)).alias("n")
+        )
+        sec, res1 = timed(lambda: out1.collect())  # warm workers, real recompute
+        assert res1[0]["n"] == n_ann
         ann_stats[f"{dict_size // 1000}k"] = {
             "compile_sec": round(compile_s, 3),
             "cold_sec": round(cold_sec, 3),
