@@ -47,23 +47,53 @@ class FieldProgram:
 
     conf: AnalysisConfig
     queries: list[CompiledQuery] = field(default_factory=list)
-    exact_index: dict = field(default_factory=dict)  # terms tuple -> (qi...)
+    exact_index: dict = field(default_factory=dict)  # {n: {joined terms -> emits}}
     ngram_lengths: tuple = ()
+    n_exact: int = 0
     general: list = field(default_factory=list)  # query idxs needing verify
     postings: dict = field(default_factory=dict)
     required: list = field(default_factory=list)
     always: list = field(default_factory=list)
 
-    def finalize(self):
-        self.required = [0] * len(self.queries)
+    def finalize(self, type_name: str = "PHRASE"):
+        """Split queries into the lean exact-phrase table and the
+        general verification list.
+
+        Exact-phrase queries (slop 0, non-fuzzy, non-ordered — the bulk
+        of real dictionaries) are compiled DOWN to emission tuples
+        (resolved_entry_id, resolved_type, meta) keyed by their joined
+        terms, and their CompiledQuery objects are dropped entirely: at
+        80k entries this shrinks the per-worker structure several-fold,
+        which matters because many worker processes share the CPU cache
+        (broadcast size and probe locality, not matching arithmetic, are
+        the throughput limiters at scale). Synonym re-attribution and
+        default-type resolution (phrases.clj:217-226,269) happen here,
+        once, instead of per match."""
+        exact: dict[int, dict] = {}
+        keep: list[CompiledQuery] = []
+        for q in self.queries:
+            if not q.fuzzy and q.slop == 0 and not q.ordered:
+                meta = q.meta or {}
+                entry_id = meta.get("query-id", q.query_id)
+                qtype = q.type if q.type is not None else type_name
+                key = "\x00".join(q.terms)
+                exact.setdefault(len(q.terms), {}).setdefault(key, []).append(
+                    (entry_id, qtype, meta)
+                )
+                continue
+            keep.append(q)
+        self.queries = keep
+        self.exact_index = {
+            n: {k: tuple(v) for k, v in table.items()} for n, table in exact.items()
+        }
+        self.ngram_lengths = tuple(sorted(exact))
+        self.n_exact = sum(len(v) for t in exact.values() for v in t.values())
+
+        self.required = [0] * len(keep)
         post: dict[str, list[int]] = {}
-        exact: dict[tuple, list[int]] = {}
-        for i, q in enumerate(self.queries):
+        for i, q in enumerate(keep):
             if q.fuzzy:
                 self.always.append(i)
-                continue
-            if q.slop == 0 and not q.ordered:
-                exact.setdefault(q.terms, []).append(i)
                 continue
             self.general.append(i)
             distinct = set(q.terms)
@@ -71,8 +101,6 @@ class FieldProgram:
             for t in distinct:
                 post.setdefault(t, []).append(i)
         self.postings = {t: tuple(v) for t, v in post.items()}
-        self.exact_index = {k: tuple(v) for k, v in exact.items()}
-        self.ngram_lengths = tuple(sorted({len(k) for k in exact}))
 
     def candidates(self, token_texts) -> list[int]:
         """Counter-prefilter candidates among the general (slop/ordered)
@@ -93,26 +121,28 @@ class FieldProgram:
     # rebuild (0.9s at 80k entries) costs more than the ~13% payload
     # saving is worth for worker cold-start.
 
-    def probe_exact(self, tokens) -> list[tuple[int, int, int]]:
-        """Direct phrase-index probe: slide an n-gram window per distinct
-        phrase length; emit (query_idx, begin_pos, end_pos) matches."""
+    def probe_exact(self, tokens) -> list:
+        """Direct phrase-table probe: slide an n-gram window per distinct
+        phrase length; emit ((entry_id, type, meta), begin_pos, end_pos)."""
         out = []
         texts = [t.text for t in tokens]
         n_tok = len(texts)
-        idx = self.exact_index
+        tables = self.exact_index
         for n in self.ngram_lengths:
+            table = tables[n]
             if n == 1:
                 for pos, txt in enumerate(texts):
-                    qis = idx.get((txt,))
-                    if qis:
-                        for qi in qis:
-                            out.append((qi, pos, pos))
+                    emits = table.get(txt)
+                    if emits:
+                        for e in emits:
+                            out.append((e, pos, pos))
             elif n <= n_tok:
+                join = "\x00".join
                 for pos in range(n_tok - n + 1):
-                    qis = idx.get(tuple(texts[pos : pos + n]))
-                    if qis:
-                        for qi in qis:
-                            out.append((qi, pos, pos + n - 1))
+                    emits = table.get(join(texts[pos : pos + n]))
+                    if emits:
+                        for e in emits:
+                            out.append((e, pos, pos + n - 1))
         return out
 
 
@@ -127,7 +157,7 @@ class CompiledDictionary:
 
     @property
     def n_queries(self) -> int:
-        return sum(len(f.queries) for f in self.fields)
+        return sum(len(f.queries) + f.n_exact for f in self.fields)
 
 
 def _prepare_synonyms(query_id: str, entry: DictionaryEntry) -> list[DictionaryEntry]:
@@ -261,7 +291,7 @@ def compile_dictionary(
 
     programs = list(by_conf.values())
     for p in programs:
-        p.finalize()
+        p.finalize(type_name)
     return CompiledDictionary(
         fields=programs, type_name=type_name, merge_annotations=merge_annotations
     )
@@ -298,9 +328,20 @@ def match_text(text: str, cd: CompiledDictionary, merge: bool | None = None) -> 
                 }
             )
 
-        # fast path: exact-phrase window probe (no per-query work)
-        for qi, p0, p1 in prog.probe_exact(tokens):
-            emit(prog.queries[qi], tokens[p0].begin, tokens[p1].end)
+        # fast path: exact-phrase window probe — emission tuples were
+        # fully resolved (entry id / type / meta) at compile time
+        for (entry_id, qtype, meta), p0, p1 in prog.probe_exact(tokens):
+            begin, end = tokens[p0].begin, tokens[p1].end
+            out.append(
+                {
+                    "text": text[begin:end],
+                    "type": qtype,
+                    "dict_entry_id": entry_id,
+                    "meta": meta,
+                    "begin_offset": begin,
+                    "end_offset": end,
+                }
+            )
 
         # general path: counter prefilter + positional verification
         if prog.general or prog.always:
