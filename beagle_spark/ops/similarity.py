@@ -152,6 +152,77 @@ def lsh_cosine_pairs(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Driver-side k-means on a sample: the IVF coarse quantizer.
+    Deterministic (seeded init, fixed iterations). At 100 TB you train
+    once on a sample and persist the centroids with the table."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent.tolist()
+
+
+def ivf_assign(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid id as a pure SQL expression (argmin over squared
+    distances; centroids are plan-time literals). Computed scan-side —
+    at scale, write it as a partition column for pruned probes."""
+    best_id = F.lit(0)
+    best_d = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(vec_col, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: exact cosine top-k restricted to the n_probe nearest
+    centroid cells of the query."""
+    import numpy as np
+
+    q = np.array(query)
+    cents = np.array(centroids)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1))
+    probe = set(int(i) for i in order[:n_probe])
+    assigned = df.withColumn("_cell", ivf_assign(F.col(vec_col), centroids))
+    cands = assigned.where(F.col("_cell").isin(list(probe)))
+    return brute_force_topk(cands, query, k, vec_col, id_col)
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.45,

@@ -310,6 +310,16 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) ANN: deterministic seeded training,
+    2-cell probe, exact re-rank (rows-only check; equivalence to
+    brute-force-within-cells asserted in tests)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir, 0)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    return similarity.ivf_ann_topk(emb, q, cents, k=10, n_probe=2).orderBy("vec_id")
+
+
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = _query_vec(spark, sf_dir, 0)
@@ -464,6 +474,7 @@ REGISTRY: dict = {
     "sim_cos_pairs": (sim_cos_pairs, SIM_PAIRS_SQL),
     "sim_lsh_ann": (sim_lsh_ann, None),
     "sim_lsh_pairs": (sim_lsh_pairs, None),
+    "sim_ivf_ann": (sim_ivf_ann, None),
     # text stats
     "ts_token_count": (ts_token_count, TS_TOKEN_SQL),
     "ts_quality": (ts_quality, TS_QUALITY_SQL),

@@ -112,3 +112,28 @@ def test_lsh_pairs_subset_of_exact(spark, emb):
         # recall with 4 planes: same-bucket prob for cos>=0.4 pairs is
         # (1 - theta/pi)^4 ~ 0.25+; just require non-trivial overlap
         assert len(lsh) > 0
+
+
+def test_ivf_ann_equals_bruteforce_within_probed_cells(spark, emb):
+    import numpy as np
+
+    row = emb.where(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # IVF result == brute force restricted to the probed cells
+    qarr = np.array(q)
+    order = np.argsort(((np.array(cents) - qarr) ** 2).sum(axis=1))
+    probe = {int(i) for i in order[:2]}
+    members = emb.withColumn(
+        "_cell", similarity.ivf_assign(F.col("embedding"), cents)
+    ).where(F.col("_cell").isin(list(probe)))
+    expected = sorted(
+        r["vec_id"] for r in similarity.brute_force_topk(members, q, k=10).collect()
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in similarity.ivf_ann_topk(emb, q, cents, k=10, n_probe=2).collect()
+    )
+    assert got == expected
+    assert 0 in got  # query's own cell is always probed first
