@@ -430,6 +430,10 @@ def get_stemmer(lang: str):
         from .snowball_de import german2_stem
 
         return german2_stem
+    if lang == "spanish":
+        from .snowball_es import spanish_stem
+
+        return spanish_stem
     if lang in ("porter", "lovins"):
         # :porter is the original 1980 Porter algorithm; lovins has no
         # pure-Python implementation here — porter is the closest

@@ -159,3 +159,31 @@ def test_german_matching_end_to_end():
                        "stemmer": "german", "case-sensitive?": False}])
     anns = hl("die häuser dort")
     assert len(anns) == 1 and anns[0]["text"] == "häuser"
+
+
+def test_spanish_stemmer():
+    from beagle_spark.analysis.snowball_es import spanish_stem
+
+    cases = {
+        "canciones": "cancion", "corriendo": "corr", "tocando": "toc",
+        "fácilmente": "facil", "rápidamente": "rapid",
+        "trabajador": "trabaj", "trabajadores": "trabaj",
+        "trabajando": "trabaj", "biología": "biolog", "lógica": "logic",
+        "casas": "cas", "libros": "libr", "española": "español",
+        "actividades": "activ", "teniéndoselo": "ten",
+        # R2 guards: suffix present but NOT in R2 -> only accent strip
+        "solución": "solucion", "presencia": "presenci",
+    }
+    for w, expected in cases.items():
+        assert spanish_stem(w) == expected, (w, spanish_stem(w))
+    # matching consistency: dict term and doc token stem identically
+    assert spanish_stem("cantando") == spanish_stem("cantando")
+
+
+def test_spanish_matching_end_to_end():
+    from beagle_spark import highlighter
+
+    hl = highlighter([{"text": "trabajador", "id": "1", "stem?": True,
+                       "stemmer": "spanish", "case-sensitive?": False}])
+    anns = hl("los trabajadores aquí")
+    assert len(anns) == 1 and anns[0]["text"] == "trabajadores"
