@@ -326,6 +326,34 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, q, k=10).orderBy("vec_id")
 
 
+def rp_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: build mergeable hourly
+    partials in two halves (simulating incremental ingests), merge, and
+    answer the final aggregate from partials only — results must equal
+    computing directly over the raw events (the oracle does exactly
+    that)."""
+    from .ops.rollup import build_rollup, merge_rollups, query_rollup
+    from .relational import load_events
+
+    ev = load_events(spark, sf_dir)
+    r1 = build_rollup(ev.where(F.col("event_id") % 2 == 0), "ts", ["event_type"], "value")
+    r2 = build_rollup(ev.where(F.col("event_id") % 2 == 1), "ts", ["event_type"], "value")
+    return query_rollup(merge_rollups(r1, r2), ["event_type"]).orderBy("event_type")
+
+
+RP_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 3) AS total,
+       round(sum(value) / count(*), 6) AS avg_v,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text-stats surface
 # ---------------------------------------------------------------------------
@@ -475,6 +503,7 @@ REGISTRY: dict = {
     "sim_lsh_ann": (sim_lsh_ann, None),
     "sim_lsh_pairs": (sim_lsh_pairs, None),
     "sim_ivf_ann": (sim_ivf_ann, None),
+    "rp_hourly_rollup": (rp_hourly_rollup, RP_SQL),
     # text stats
     "ts_token_count": (ts_token_count, TS_TOKEN_SQL),
     "ts_quality": (ts_quality, TS_QUALITY_SQL),
