@@ -225,7 +225,8 @@ def q7_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q7_SQL = """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source, lang
 ORDER BY source, lang
@@ -328,16 +329,18 @@ def q10_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     li_agg = li.groupBy("l_partkey").agg(
-        # no intermediate rounding: double-rounding cascades amplify
-        # cross-engine float noise at the final round boundary
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        # money arithmetic in DECIMAL: exact and summation-order-independent,
+        # so the value hash matches the oracle regardless of partitioning
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     return (
         li_agg.join(part, li_agg.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("revenue"), 2).alias("brand_revenue"),
+            F.round(F.sum("revenue"), 2).cast("double").alias("brand_revenue"),
             F.sum("n_lines").alias("n_lines"),
         )
         .orderBy(F.desc("brand_revenue"), "p_brand")
@@ -347,13 +350,13 @@ def q10_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 WITH li_agg AS (
   SELECT l_partkey,
-         sum(l_extendedprice * (1 - l_discount)) AS revenue,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
          count(*) AS n_lines
   FROM lineitem GROUP BY l_partkey
 )
 SELECT p_brand,
-       round(sum(revenue), 2) AS brand_revenue,
-       sum(n_lines) AS n_lines
+       CAST(round(sum(revenue), 2) AS DOUBLE) AS brand_revenue,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines
 FROM li_agg JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY brand_revenue DESC, p_brand
@@ -373,7 +376,13 @@ def q11_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+            # avg via exact decimal sum / count: order-independent, one
+            # deterministic double division + round at the very end
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(38,6)")).cast("double")
+                / F.count("s_acctbal"),
+                2,
+            ).alias("avg_acctbal"),
             F.sum(F.coalesce("n_lines", F.lit(0))).alias("total_lines"),
         )
         .where(F.col("n_suppliers") > 1)
@@ -386,8 +395,9 @@ WITH li_per_supp AS (
   SELECT l_suppkey, count(*) AS n_lines FROM lineitem GROUP BY l_suppkey
 )
 SELECT n_name, count(*) AS n_suppliers,
-       round(avg(s_acctbal), 2) AS avg_acctbal,
-       sum(coalesce(n_lines, 0)) AS total_lines
+       round(CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             / count(s_acctbal), 2) AS avg_acctbal,
+       CAST(sum(coalesce(n_lines, 0)) AS BIGINT) AS total_lines
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 LEFT JOIN li_per_supp ON s_suppkey = l_suppkey
