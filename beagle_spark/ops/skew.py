@@ -44,9 +44,16 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     """Two-phase skewed count: partial count on (key, salt), then final
     sum on key — the map-side combine Spark already does for counts, but
     explicit for aggregates that would otherwise see one hot reducer
-    (e.g. collect_list-ish payloads)."""
+    (e.g. collect_list-ish payloads).
+
+    The salt must vary WITHIN a key (a hash of the key itself is
+    constant per key and spreads nothing), so it is derived from the
+    row id — deterministic across retries, unlike rand()."""
     return (
-        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)).cast("int"))
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
+        )
         .groupBy(key, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
         .groupBy(key)

@@ -267,7 +267,9 @@ def _query_vec(spark, sf_dir, vec_id=0):
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = _query_vec(spark, sf_dir, 0)
-    return similarity.brute_force_topk(emb, q, k=10, exclude_ids=(0,)).orderBy("vec_id")
+    return similarity.brute_force_topk(
+        emb, q, k=10, exclude_ids=(0,), payload_cols=("label",)
+    ).orderBy("vec_id")
 
 
 SIM_TOPK_SQL = """
@@ -317,13 +319,15 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = _query_vec(spark, sf_dir, 0)
     cents = similarity.train_ivf_centroids(emb, n_centroids=8)
-    return similarity.ivf_ann_topk(emb, q, cents, k=10, n_probe=2).orderBy("vec_id")
+    return similarity.ivf_ann_topk(
+        emb, q, cents, k=10, n_probe=2, payload_cols=("label",)
+    ).orderBy("vec_id")
 
 
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = _query_vec(spark, sf_dir, 0)
-    return similarity.lsh_ann_topk(emb, q, k=10).orderBy("vec_id")
+    return similarity.lsh_ann_topk(emb, q, k=10, payload_cols=("label",)).orderBy("vec_id")
 
 
 def rp_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

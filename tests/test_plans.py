@@ -140,6 +140,37 @@ def test_salted_join_row_identical(spark):
     assert counted == direct
 
 
+def test_salted_count_spreads_hot_key(spark):
+    """A planted hot key must be split across ~n_salts partial groups in
+    the first aggregation stage — the whole point of salting. (The r1
+    implementation salted by hash(key), which is constant per key and
+    spread nothing.)"""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(10_000).select(F.lit("whale").alias("k"))
+    cold = spark.range(100).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    df = hot.unionByName(cold)
+
+    n_salts = 8
+    # replicate salted_count's partial stage to count distinct salts per key
+    partial = (
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
+        )
+        .groupBy("k", "_salt")
+        .count()
+    )
+    hot_groups = partial.where(F.col("k") == "whale").count()
+    assert hot_groups >= n_salts - 1, f"hot key landed in only {hot_groups} groups"
+
+    from beagle_spark.ops.skew import salted_count
+
+    got = {r["k"]: r["n"] for r in salted_count(df, "k", n_salts=n_salts).collect()}
+    assert got["whale"] == 10_000
+    assert len(got) == 101
+
+
 def test_partition_pruning(spark, tmp_path):
     from pyspark.sql import functions as F
 
