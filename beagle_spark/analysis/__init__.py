@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 from .stem import get_stemmer
-from .tokenizers import Token, get_tokenizer
+from .tokenizers import Token, get_tokenizer, tokenize_classic_typed
 
 __all__ = [
     "AnalysisConfig",
@@ -103,11 +103,42 @@ def ascii_fold(s: str) -> str:
     return "".join(out)
 
 
+def _classic_filtered_tokenize(text: str) -> list[Token]:
+    """ClassicFilter over classic-typed tokens (Lucene ClassicFilter):
+    APOSTROPHE tokens lose a trailing 's / 'S; ACRONYM tokens lose all
+    dots. Offsets keep the ORIGINAL token span (the filter shrinks the
+    term text only), so highlights cover e.g. the whole "John's"."""
+    out = []
+    for t, typ in tokenize_classic_typed(text):
+        s = t.text
+        if typ == "APOSTROPHE" and len(s) >= 2 and s[-2] == "'" and s[-1] in "sS":
+            s = s[:-2]
+        elif typ == "ACRONYM":
+            s = s.replace(".", "")
+        out.append(Token(s, t.begin, t.end))
+    return out
+
+
 @lru_cache(maxsize=64)
 def _chain(conf: AnalysisConfig):
     """Build the token-transform chain once per config (reference memoizes
-    analyzers, text_analysis.clj:98-99)."""
-    tokenize = get_tokenizer(conf.tokenizer)
+    analyzers, text_analysis.clj:98-99).
+
+    ClassicFilter parity (text_analysis.clj:77-81): the reference wraps
+    the chain in ClassicFilter only when stem? is false AND the chain is
+    still the bare tokenizer (no LowerCaseFilter, no ASCIIFoldingFilter —
+    i.e. case-sensitive and no fold). Lucene's ClassicFilter acts only on
+    ACRONYM/APOSTROPHE token types, which only ClassicTokenizer emits —
+    for the standard tokenizer it is a no-op (StandardTokenizer emits
+    <ALPHANUM>/<NUM>), so "John's" stays one unstripped token under the
+    DEFAULT config, and strips to "John" under tokenizer=classic."""
+    classic_filter = (
+        conf.tokenizer == "classic"
+        and not conf.stem
+        and conf.case_sensitive
+        and not conf.ascii_fold
+    )
+    tokenize = _classic_filtered_tokenize if classic_filter else get_tokenizer(conf.tokenizer)
     stem_fn = get_stemmer(conf.stemmer) if conf.stem else None
     lower = not conf.case_sensitive
     fold = conf.ascii_fold

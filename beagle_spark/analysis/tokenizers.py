@@ -28,16 +28,29 @@ class Token(NamedTuple):
     end: int
 
 
-# UAX#29-ish word: numbers may contain internal . or , between digits;
-# words are letter/digit/mark runs; apostrophe kept inside letter runs
-# (Lucene StandardTokenizer keeps "don't" as one token).
+# UAX#29 word with the MidLetter/MidNumLet join rules Lucene's
+# StandardTokenizer applies (WB6/WB7, WB11/WB12): an alnum run extends
+# across a single joiner when the joiner sits between the right kinds of
+# neighbors — apostrophe/'/’ or '.' between LETTERS ("John's", "U.S.A",
+# "example.com" each one token), '.' or ',' between DIGITS ("3.14",
+# "1,000"). A joiner with the wrong neighbors splits ("a,b", "R2D2.com").
 _STANDARD = re.compile(
-    r"\d+(?:[.,]\d+)*|[\p{L}\p{M}\p{Nd}]+(?:['’][\p{L}\p{M}]+)*",
+    r"[\p{L}\p{M}\p{Nd}]+"
+    r"(?:(?:(?<=\p{L})['’.](?=\p{L})|(?<=\p{Nd})[.,](?=\p{Nd}))[\p{L}\p{M}\p{Nd}]+)*",
     re.UNICODE,
 )
-# classic ≈ standard for our purposes (ClassicTokenizer additionally
-# handles emails/hosts; the reference's tests don't pin those).
-_CLASSIC = _STANDARD
+# ClassicTokenizer (pre-UAX#29 Lucene grammar) emits TYPED tokens; the
+# types drive ClassicFilter (possessive/acronym stripping) downstream.
+# ACRONYM = letter-dot pairs INCLUDING the trailing dot ("U.S.A.");
+# APOSTROPHE = letters with internal ASCII apostrophes ("John's").
+_CLASSIC_TYPED = re.compile(
+    r"(?P<ACRONYM>\p{L}\.(?:\p{L}\.)+)"
+    r"|(?P<APOSTROPHE>\p{L}+(?:'\p{L}+)+)"
+    r"|(?P<NUM>\p{Nd}+(?:[.,]\p{Nd}+)*)"
+    r"|(?P<ALPHANUM>[\p{L}\p{M}\p{Nd}]+)",
+    re.UNICODE,
+)
+_CLASSIC = _CLASSIC_TYPED
 _LETTER = re.compile(r"[\p{L}\p{M}]+", re.UNICODE)
 _WHITESPACE = re.compile(r"\S+", re.UNICODE)
 # reference `strict` tokenizer regex (text_analysis.clj:58-60): splits on
@@ -57,6 +70,16 @@ _PATTERNS = {
 
 def _scan(pattern: re.Pattern, text: str) -> list[Token]:
     return [Token(m.group(), m.start(), m.end()) for m in pattern.finditer(text)]
+
+
+def tokenize_classic_typed(text: str) -> list[tuple[Token, str]]:
+    """Classic tokenization with Lucene token types (ACRONYM /
+    APOSTROPHE / NUM / ALPHANUM) — ClassicFilter keys off the type
+    (Lucene ClassicFilter.incrementToken)."""
+    return [
+        (Token(m.group(), m.start(), m.end()), m.lastgroup)
+        for m in _CLASSIC_TYPED.finditer(text)
+    ]
 
 
 def _keyword(text: str) -> list[Token]:

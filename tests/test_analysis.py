@@ -82,6 +82,41 @@ def test_strict_tokenizer():
     assert [t.text for t in toks] == ["[URGENT", "]", "a@b", "#tag", "c++"]
 
 
+def test_standard_uax29_mid_joins():
+    """Lucene StandardTokenizer (UAX#29 WB6/7, WB11/12): apostrophes and
+    dots join letters; dots/commas join digits; wrong-neighbor joiners
+    split."""
+    std = get_tokenizer("standard")
+    assert [t.text for t in std("John's book")] == ["John's", "book"]
+    assert [t.text for t in std("U.S.A. forces")] == ["U.S.A", "forces"]
+    assert [t.text for t in std("visit example.com now")] == ["visit", "example.com", "now"]
+    assert [t.text for t in std("a,b and R2D2.com")] == ["a", "b", "and", "R2D2", "com"]
+    assert [t.text for t in std("don’t")] == ["don’t"]
+
+
+def test_classic_filter_default_chain():
+    """ClassicFilter parity (reference text_analysis.clj:77-81 + Lucene
+    ClassicFilter): applied only when stem?=false and the chain is the
+    bare tokenizer; acts only on ClassicTokenizer's ACRONYM/APOSTROPHE
+    types — a no-op for the standard tokenizer."""
+    # default config (standard tokenizer): no stripping — "John's" stays
+    assert text_to_token_strings("John's in the U.S.A. now", merge_config({})) == [
+        "John's", "in", "the", "U.S.A", "now",
+    ]
+    # classic tokenizer, default flags: possessive + acronym stripping,
+    # offsets keep the original token span
+    toks = analyze("John's in the U.S.A. now", merge_config({"tokenizer": "classic"}))
+    assert [(t.text, t.begin, t.end) for t in toks] == [
+        ("John", 0, 6), ("in", 7, 9), ("the", 10, 13), ("USA", 14, 20), ("now", 21, 24),
+    ]
+    # classic + lowercase: chain has LowerCaseFilter, so NO ClassicFilter
+    # (reference applies it only to a bare-tokenizer chain)
+    assert text_to_token_strings(
+        "John's in the U.S.A. now",
+        merge_config({"tokenizer": "classic", "case_sensitive": False}),
+    ) == ["john's", "in", "the", "u.s.a.", "now"]
+
+
 def test_ascii_fold():
     assert ascii_fold("wörd") == "word"
     assert ascii_fold("Schön") == "Schon"

@@ -43,6 +43,28 @@ def test_metadata_append():  # phrases_test.clj:49-54
     assert anns[0]["meta"] == {"email": "test@example.com"}
 
 
+def test_classic_filter_possessive_matching():
+    """ClassicFilter parity end-to-end (reference text_analysis.clj:77-81):
+    with tokenizer=classic (bare-tokenizer chain), entry "John" matches
+    possessive "John's" and entry "USA" matches "U.S.A." — highlight
+    spans cover the whole original token. Under the DEFAULT standard
+    tokenizer Lucene's ClassicFilter is a type-gated no-op, so "John"
+    does NOT match "John's" (StandardTokenizer keeps it one token)."""
+    anns = highlighter([{"text": "John", "tokenizer": ":classic"}])("John's book")
+    assert [(a["text"], a["begin_offset"], a["end_offset"]) for a in anns] == [
+        ("John's", 0, 6)
+    ]
+    anns = highlighter([{"text": "USA", "tokenizer": ":classic"}])("in the U.S.A. today")
+    assert [(a["text"], a["begin_offset"], a["end_offset"]) for a in anns] == [
+        ("U.S.A.", 7, 13)
+    ]
+    # default config: StandardTokenizer emits no APOSTROPHE type -> no strip
+    assert not highlighter([{"text": "John"}])("John's book")
+    # and the acronym stays dotted (joined, trailing dot excluded)
+    assert not highlighter([{"text": "USA"}])("in the U.S.A. today")
+    assert highlighter([{"text": "U.S.A"}])("in the U.S.A. today")
+
+
 def test_case_sensitivity():  # phrases_test.clj:56-79
     assert highlighter([{"text": "test"}])("before annotated test after annotated")
     assert not highlighter([{"text": "TeSt", "case-sensitive?": True}])(
