@@ -118,22 +118,29 @@ def main():
         )
         cold_sec, res = timed(lambda: out0.collect())
         n_ann = res[0]["n"]
-        out1 = ann.annotate_df(docs).select(
-            (F.sum(F.size("annotations") + 1) - F.lit(n_docs)).alias("n")
-        )
-        sec, res1 = timed(lambda: out1.collect())  # warm workers, real recompute
-        assert res1[0]["n"] == n_ann
+        # median of 3 warm runs: a single sample on this shared box can
+        # be 4x off (r1 recorded warm 6.6s vs cold 1.7s for the same job)
+        warm_secs = []
+        for i in (1, 2, 3):
+            out_i = ann.annotate_df(docs).select(
+                (F.sum(F.size("annotations") + i) - F.lit(i * n_docs)).alias("n")
+            )
+            sec_i, res_i = timed(lambda: out_i.collect())
+            assert res_i[0]["n"] == n_ann
+            warm_secs.append(sec_i)
+        sec = sorted(warm_secs)[1]
         ann_stats[f"{dict_size // 1000}k"] = {
             "compile_sec": round(compile_s, 3),
             "cold_sec": round(cold_sec, 3),
             "annotate_sec": round(sec, 3),
+            "warm_secs": [round(s, 3) for s in warm_secs],
             "docs_per_sec": round(n_docs / sec, 1),
             "n_annotations": int(n_ann),
         }
         results[f"annotate_{dict_size // 1000}k_phrases"] = round(sec, 3)
         log(
-            f"annotate {dict_size}: warm {sec:.2f}s -> {n_docs / sec:.0f} docs/s "
-            f"(cold {cold_sec:.2f}s, {n_ann} anns)"
+            f"annotate {dict_size}: warm median {sec:.2f}s of {[f'{s:.2f}' for s in warm_secs]} "
+            f"-> {n_docs / sec:.0f} docs/s (cold {cold_sec:.2f}s, {n_ann} anns)"
         )
     ann_stats["targets_docs_per_sec"] = {"5k": 2000, "80k": 400}  # BASELINE.md 2x gate
     extra["annotate"] = ann_stats
