@@ -1,0 +1,537 @@
+"""Snowball Italian / Portuguese / Catalan / Romanian stemmers, pure
+Python.
+
+Italian and Portuguese are implemented from the published algorithm
+specifications (snowballstem.org/algorithms/{italian,portuguese}/
+stemmer.html) — the programs Lucene runs for the reference's `:italian`
+and `:portuguese` stemmers (reference: src/beagle/text_analysis.clj:
+35,40). Catalan and Romanian follow the published Snowball programs'
+structure (step 0 pronouns / step 1 standard suffixes in R1/R2 / verb
+suffixes in RV / residuals) with suffix tables reconstructed from the
+specs; they are faithful in shape and collapse the same inflection
+families, though individual rare forms may stem differently
+(documented deviation).
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Shared machinery (Spanish-style RV/R1/R2)
+# ---------------------------------------------------------------------------
+
+
+def _make_regions(vowels: frozenset):
+    def regions(w: str) -> tuple[int, int, int]:
+        n = len(w)
+
+        def is_v(i):
+            return w[i] in vowels
+
+        rv = n
+        if n >= 3:
+            if not is_v(1):
+                for i in range(2, n):
+                    if is_v(i):
+                        rv = i + 1
+                        break
+            elif is_v(0) and is_v(1):
+                for i in range(2, n):
+                    if not is_v(i):
+                        rv = i + 1
+                        break
+            else:
+                rv = 3
+
+        def nonvowel_after_vowel(start):
+            for i in range(start + 1, n):
+                if not is_v(i) and is_v(i - 1):
+                    return i + 1
+            return n
+
+        r1 = nonvowel_after_vowel(0)
+        r2 = nonvowel_after_vowel(r1 - 1) if r1 < n else n
+        return rv, r1, r2
+
+    return regions
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_it_regions = _make_regions(_IT_VOWELS)
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRONOUNS = sorted(
+    [
+        "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+        "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+        "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+        "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+        "veli", "velo", "vene",
+    ],
+    key=len,
+    reverse=True,
+)
+_IT_STEP1_R2 = sorted(
+    [
+        "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi", "ismo",
+        "ismi", "abile", "abili", "ibile", "ibili", "ista", "iste", "isti",
+        "istà", "istè", "istì", "oso", "osi", "osa", "ose", "mente",
+        "atrice", "atrici", "ante", "anti",
+    ],
+    key=len,
+    reverse=True,
+)
+_IT_STEP2 = sorted(
+    [
+        "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+        "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+        "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+        "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+        "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+        "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+        "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+        "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti",
+        "irete", "irò", "irono", "isca", "iscano", "isce", "isci",
+        "isco", "iscono", "issero", "ita", "ite", "iti", "ito", "iva",
+        "ivamo", "ivano", "ivate", "ivi", "ivo", "ono", "uta", "ute",
+        "uti", "uto", "ar", "ir",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def italian_stem(word: str) -> str:
+    w = word.lower().translate(_IT_ACUTE)
+    # mark u after q and u/i between vowels
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        prev_v = i > 0 and chars[i - 1] in _IT_VOWELS
+        next_v = i + 1 < n and chars[i + 1] in _IT_VOWELS
+        if c in "ui" and prev_v and next_v:
+            chars[i] = c.upper()
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    w = "".join(chars)
+    if len(w) <= 2:
+        return w.replace("I", "i").replace("U", "u")
+    rv, r1, r2 = _it_regions(w)
+
+    def in_rv(p):
+        return p >= rv
+
+    def in_r2(p):
+        return p >= r2
+
+    # Step 0: attached pronouns
+    for pron in _IT_PRONOUNS:
+        if w.endswith(pron):
+            base = w[: -len(pron)]
+            if base.endswith(("ando", "endo")) and in_rv(len(base) - 4):
+                w = base
+            elif base.endswith(("ar", "er", "ir")) and in_rv(len(base) - 2):
+                w = base + "e"
+            break
+
+    before = w
+
+    # Step 1: standard suffixes
+    if w.endswith(("azione", "azioni", "atore", "atori")):
+        suf = next(s for s in ("azione", "azioni", "atore", "atori") if w.endswith(s))
+        if in_r2(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            if w.endswith("ic") and in_r2(len(w) - 2):
+                w = w[:-2]
+    elif w.endswith(("logia", "logie")):
+        if in_r2(len(w) - 5):
+            w = w[:-5] + "log"
+    elif w.endswith(("uzione", "uzioni", "usione", "usioni")):
+        if in_r2(len(w) - 6):
+            w = w[:-6] + "u"
+    elif w.endswith(("enza", "enze")):
+        if in_r2(len(w) - 4):
+            w = w[:-4] + "ente"
+    elif w.endswith(("amento", "amenti", "imento", "imenti")):
+        if in_rv(len(w) - 6):
+            w = w[:-6]
+    elif w.endswith("amente"):
+        if len(w) - 6 >= r1:
+            w = w[:-6]
+            if w.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            elif w.endswith("abil") and in_r2(len(w) - 4):
+                w = w[:-4]
+            elif w.endswith(("os", "ic")) and in_r2(len(w) - 2):
+                w = w[:-2]
+    elif w.endswith("ità"):
+        if in_r2(len(w) - 3):
+            w = w[:-3]
+            if w.endswith("abil") and in_r2(len(w) - 4):
+                w = w[:-4]
+            elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                w = w[:-2]
+    elif w.endswith(("ivo", "ivi", "iva", "ive")):
+        if in_r2(len(w) - 3):
+            w = w[:-3]
+            if w.endswith("at") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+    else:
+        for suf in _IT_STEP1_R2:
+            if w.endswith(suf):
+                if in_r2(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                break
+
+    # Step 2: verb suffixes (only if step 1 removed nothing)
+    if w == before:
+        for suf in _IT_STEP2:
+            if w.endswith(suf):
+                if in_rv(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                break
+
+    # Step 3a: residual vowel (then a further final i)
+    if w and w[-1] in "aeioàèìò" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("i") and in_rv(len(w) - 1):
+            w = w[:-1]
+    # Step 3b
+    if w.endswith(("ch", "gh")) and in_rv(len(w) - 1):
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+# ---------------------------------------------------------------------------
+_PT_VOWELS = frozenset("aeiouáéíóúâêô")
+_pt_regions = _make_regions(_PT_VOWELS)
+
+_PT_STEP1_R2 = sorted(
+    [
+        "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+        "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+        "amento", "amentos", "imento", "imentos", "adora", "ador",
+        "aça~o", "adoras", "adores", "aço~es", "ante", "antes", "ância",
+    ],
+    key=len,
+    reverse=True,
+)
+_PT_STEP2 = sorted(
+    [
+        "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+        "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+        "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+        "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+        "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+        "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir",
+        "as", "adas", "idas", "ias", "arias", "erias", "irias", "arás",
+        "erás", "irás", "avas", "es", "ardes", "erdes", "irdes", "ares",
+        "eres", "ires", "asses", "esses", "isses", "astes", "estes",
+        "istes", "is", "ais", "iais", "aríais", "eríais", "iríais",
+        "áreis", "areis", "éreis", "ereis", "íreis", "ireis", "ásseis",
+        "ésseis", "ísseis", "asseis", "esseis", "isseis", "áveis",
+        "aveis", "íeis", "ieis", "aríeis", "eríeis", "iríeis", "ados",
+        "idos", "amos", "ámos", "íamos", "iamos", "aríamos", "eríamos",
+        "iríamos", "áramos", "éramos", "íramos", "ávamos", "avamos",
+        "emos", "aremos", "eremos", "iremos", "ássemos", "êssemos",
+        "íssemos", "imos", "armos", "ermos", "irmos", "eu", "iu", "ou",
+        "ira", "iras",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def portuguese_stem(word: str) -> str:
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    if len(w) <= 2:
+        return w.replace("a~", "ã").replace("o~", "õ")
+    rv, r1, r2 = _pt_regions(w)
+
+    def in_rv(p):
+        return p >= rv
+
+    def in_r2(p):
+        return p >= r2
+
+    before = w
+
+    # Step 1: standard suffixes
+    if w.endswith(("logia", "logias")):
+        suf = "logias" if w.endswith("logias") else "logia"
+        if in_r2(len(w) - len(suf)):
+            w = w[: -len(suf)] + "log"
+    elif w.endswith(("uça~o", "uço~es")):
+        suf = "uço~es" if w.endswith("uço~es") else "uça~o"
+        if in_r2(len(w) - len(suf)):
+            w = w[: -len(suf)] + "u"
+    elif w.endswith(("ência", "ências")):
+        suf = "ências" if w.endswith("ências") else "ência"
+        if in_r2(len(w) - len(suf)):
+            w = w[: -len(suf)] + "ente"
+    elif w.endswith("amente"):
+        if len(w) - 6 >= r1:
+            w = w[:-6]
+            if w.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            elif w.endswith(("os", "ic", "ad")) and in_r2(len(w) - 2):
+                w = w[:-2]
+    elif w.endswith("mente"):
+        if in_r2(len(w) - 5):
+            w = w[:-5]
+            for p in ("ante", "avel", "ível"):
+                if w.endswith(p) and in_r2(len(w) - 4):
+                    w = w[:-4]
+                    break
+    elif w.endswith(("idade", "idades")):
+        suf = "idades" if w.endswith("idades") else "idade"
+        if in_r2(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            for p in ("abil", "ic", "iv"):
+                if w.endswith(p) and in_r2(len(w) - len(p)):
+                    w = w[: -len(p)]
+                    break
+    elif w.endswith(("iva", "ivo", "ivas", "ivos")):
+        suf = next(s for s in ("ivas", "ivos", "iva", "ivo") if w.endswith(s))
+        if in_r2(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            if w.endswith("at") and in_r2(len(w) - 2):
+                w = w[:-2]
+    elif w.endswith(("ira", "iras")):
+        suf = "iras" if w.endswith("iras") else "ira"
+        i = len(w) - len(suf)
+        if in_rv(i) and i >= 1 and w[i - 1] == "e":
+            w = w[:i] + "ir"
+    else:
+        for suf in _PT_STEP1_R2:
+            if w.endswith(suf):
+                if in_r2(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                break
+
+    step1_removed = w != before
+
+    # Step 2: verb suffixes (only if step 1 removed nothing)
+    if not step1_removed:
+        for suf in _PT_STEP2:
+            if w.endswith(suf):
+                if in_rv(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                break
+
+    altered = w != before
+
+    # Step 3 / Step 4
+    if altered:
+        if w.endswith("i") and in_rv(len(w) - 1) and len(w) >= 2 and w[-2] == "c":
+            w = w[:-1]
+    else:
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf):
+                if in_rv(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                break
+
+    # Step 5: final e / é / ê, with gu/ci fix; final ç -> c
+    if w and w[-1] in "eéê" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("gu") and in_rv(len(w) - 1):
+            w = w[:-1]
+        elif w.endswith("ci") and in_rv(len(w) - 1):
+            w = w[:-1]
+    if w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Catalan (Snowball program structure; tables reconstructed)
+# ---------------------------------------------------------------------------
+_CA_VOWELS = frozenset("aeiouàèéíïòóúü")
+_ca_regions = _make_regions(_CA_VOWELS)
+
+_CA_PRONOUNS = sorted(
+    [
+        "'ls", "'l", "'ns", "'n", "'m", "'s", "-ho", "-hi", "-la", "-les",
+        "-li", "-lo", "-los", "-me", "-nos", "-se", "-te", "-vos", "ho",
+        "hi", "los", "nos", "vos",
+    ],
+    key=len,
+    reverse=True,
+)
+_CA_STEP1 = sorted(
+    [
+        "atge", "atges", "ment", "ments", "able", "ables", "ible", "ibles",
+        "isme", "ismes", "ista", "istes", "ió", "ions", "cions", "ció",
+        "acions", "ació", "ador", "adora", "adors", "adores", "ància",
+        "àncies", "ència", "ències", "ícia", "ícies", "itat", "itats",
+        "itud", "ituds", "esa", "eses", "eria", "eries", "ós", "osa",
+        "osos", "oses", "iu", "ius", "iva", "ives",
+    ],
+    key=len,
+    reverse=True,
+)
+_CA_STEP2_VERB = sorted(
+    [
+        "ar", "er", "ir", "ant", "ent", "int", "at", "ada", "ats", "ades",
+        "it", "ida", "its", "ides", "ut", "uda", "uts", "udes", "ava",
+        "aves", "àvem", "àveu", "aven", "ia", "ies", "íem", "íeu", "ien",
+        "aré", "aràs", "arà", "arem", "areu", "aran", "aria", "aries",
+        "aríem", "aríeu", "arien", "í", "ares", "à", "àrem", "àreu",
+        "aren", "és", "essis", "éssim", "éssiu", "essin", "essi", "em",
+        "eu", "en", "es", "o", "a", "e", "i",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def catalan_stem(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    rv, r1, r2 = _ca_regions(w)
+
+    # Step 0: attached pronouns (in RV)
+    for pron in _CA_PRONOUNS:
+        if w.endswith(pron) and len(w) - len(pron) >= rv:
+            w = w[: -len(pron)]
+            break
+
+    before = w
+    # Step 1: standard suffixes in R2 (R1 for -ment adverbs)
+    for suf in _CA_STEP1:
+        if w.endswith(suf):
+            region = r1 if suf in ("ment", "ments") else r2
+            if len(w) - len(suf) >= region:
+                w = w[: -len(suf)]
+            break
+
+    # Step 2: verb suffixes in RV (only if step 1 removed nothing)
+    if w == before:
+        for suf in _CA_STEP2_VERB:
+            if w.endswith(suf) and len(w) - len(suf) >= rv:
+                w = w[: -len(suf)]
+                break
+
+    # Residual: plural -s / final vowels & accents in RV
+    for suf in ("os", "ns", "s"):
+        if w.endswith(suf) and len(w) - len(suf) >= rv:
+            w = w[: -len(suf)]
+            break
+    for suf in ("a", "o", "à", "á", "ó", "e", "è", "é", "í", "ï"):
+        if w.endswith(suf) and len(w) - len(suf) >= rv:
+            w = w[: -len(suf)]
+            break
+    if w.endswith("iqu"):
+        w = w[:-2] + "c"
+    return (
+        w.replace("à", "a").replace("è", "e").replace("é", "e")
+        .replace("í", "i").replace("ï", "i").replace("ò", "o")
+        .replace("ó", "o").replace("ú", "u").replace("ü", "u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Romanian (Snowball program structure; tables reconstructed)
+# ---------------------------------------------------------------------------
+_RO_VOWELS = frozenset("aeiouâîă")
+_ro_regions = _make_regions(_RO_VOWELS)
+
+_RO_STEP0 = [
+    ("ului", ""), ("ul", ""), ("aua", "a"), ("elor", "e"), ("ele", "e"),
+    ("ea", "e"), ("iua", "i"), ("ilor", "i"), ("iei", "i"), ("iile", "i"),
+    ("ii", "i"), ("atei", "at"), ("ație", "ați"), ("ația", "ați"),
+]
+_RO_COMBO = [
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilități", "abil"),
+    ("ibilitate", "ibil"), ("icitate", "ic"), ("icitati", "ic"),
+    ("icități", "ic"), ("icator", "ic"), ("icatori", "ic"),
+    ("ativitate", "ativ"), ("itate", "it"), ("itati", "it"),
+    ("ități", "it"), ("ificat", "ific"), ("ificata", "ific"),
+]
+_RO_STEP2 = sorted(
+    [
+        "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti",
+        "ute", "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice",
+        "ici", "abil", "abila", "abile", "abili", "ibil",
+        "ibila", "ibile", "ibili", "oasa", "oasă", "oase", "os", "osi",
+        "oși", "ant", "anta", "ante", "anti", "anță", "ator", "atori",
+        "itiv", "itiva", "itive", "itivi", "iv", "iva", "ive", "ivi",
+        "ism", "isme", "ist", "ista", "iste", "isti", "iști", "ișt",
+        "mente", "ment", "mentul",
+    ],
+    key=len,
+    reverse=True,
+)
+_RO_VERB = sorted(
+    [
+        "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+        "ească", "ez", "ezi", "ează", "esc", "ești", "ește", "ăsc",
+        "ăști", "ăște", "am", "ai", "au", "eam", "eai", "eau", "iam",
+        "iai", "iau", "ași", "arăm", "arăți", "ară", "use", "userăm",
+        "userăți", "useră", "ise", "iserăm", "iserăți", "iseră", "ase",
+        "aserăm", "aserăți", "aseră", "at", "ați", "ut", "uți", "it",
+        "iți", "ât", "âți", "uși", "iși", "âși", "urăm", "ură", "irăm",
+        "iră", "a", "e", "i", "ă", "u",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def romanian_stem(word: str) -> str:
+    w = word.lower().replace("ş", "ș").replace("ţ", "ț")
+    if len(w) <= 2:
+        return w
+    rv, r1, r2 = _ro_regions(w)
+
+    # Step 0: plural/article removal (in R1)
+    for suf, rep in _RO_STEP0:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)] + rep
+            break
+
+    # Step 1: combining suffixes, repeat while matched (in R1)
+    changed = True
+    while changed:
+        changed = False
+        for suf, rep in _RO_COMBO:
+            if w.endswith(suf) and len(w) - len(suf) >= r1:
+                w = w[: -len(suf)] + rep
+                changed = True
+                break
+
+    before = w
+    # Step 2: standard suffixes in R2
+    for suf in _RO_STEP2:
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            w = w[: -len(suf)]
+            break
+
+    # Step 3: verb suffixes in RV (only if step 2 removed nothing)
+    if w == before:
+        for suf in _RO_VERB:
+            if w.endswith(suf) and len(w) - len(suf) >= rv:
+                w = w[: -len(suf)]
+                break
+
+    # Step 4: residual vowel in RV
+    for suf in ("a", "e", "i", "ă", "ie"):
+        if w.endswith(suf) and len(w) - len(suf) >= rv:
+            w = w[: -len(suf)]
+            break
+    return w

@@ -2,17 +2,14 @@
 
 The reference uses Lucene's Snowball programs for 26 languages
 (reference: src/beagle/text_analysis.clj:15-49). This container has no
-Snowball bindings, so:
-
-- `english` / `porter` use a faithful pure-Python implementation of the
-  public-domain Porter algorithm (Porter, "An algorithm for suffix
-  stripping", 1980) — the same algorithm as Lucene's PorterStemmer.
-- If the optional `snowballstemmer` / `Stemmer` (PyStemmer) package is
-  present at runtime (e.g. on a real cluster with a fuller image), all 26
-  languages dispatch to it.
-- Otherwise non-English languages fall back to identity with a one-time
-  warning: documented deviation, gated so the code path is correct when
-  the dependency is available.
+Snowball bindings, so every language ships a pure-Python
+implementation (see _PURE_PYTHON below; the snowball_* sibling modules
+implement the published snowballstem.org algorithms — the larger
+well-specified ones faithfully, the rest following the published
+program's structure with reconstructed suffix tables, documented in
+each module). If the optional `snowballstemmer` / `Stemmer`
+(PyStemmer) package is present at runtime (e.g. a fuller cluster
+image), all 26 languages dispatch to it instead.
 
 Stemmers are resolved per *analysis config* once per Arrow batch, never
 per row.
@@ -420,29 +417,57 @@ def get_stemmer(lang: str):
         return Stemmer.Stemmer(_SNOWBALL_LANGS[lang]).stemWord
     except ImportError:
         pass
-    if lang == "english":
-        return porter2_stem
-    if lang == "german":
-        from .snowball_de import german_stem
-
-        return german_stem
-    if lang == "german2":
-        from .snowball_de import german2_stem
-
-        return german2_stem
-    if lang == "spanish":
-        from .snowball_es import spanish_stem
-
-        return spanish_stem
-    if lang in ("porter", "lovins"):
-        # :porter is the original 1980 Porter algorithm; lovins has no
-        # pure-Python implementation here — porter is the closest
-        # English-family behavior (documented deviation).
-        return porter_stem
-    if lang not in _warned:
+    fn = _PURE_PYTHON.get(lang)
+    if fn is not None:
+        return fn()
+    # unreachable for the 26 known names; kept as a guard for future
+    # additions to _SNOWBALL_LANGS without a pure-Python entry
+    if lang not in _warned:  # pragma: no cover
         _warned.add(lang)
         warnings.warn(
             f"No Snowball implementation available for {lang!r}; "
             "stemming is identity for this language in this environment."
         )
     return lambda w: w
+
+
+def _lazy(module: str, name: str):
+    def load():
+        import importlib
+
+        return getattr(importlib.import_module(module, __package__), name)
+
+    return load
+
+
+# All 26 reference stemmer names resolve to a pure-Python
+# implementation — no identity fallback (reference:
+# src/beagle/text_analysis.clj:15-49).
+_PURE_PYTHON = {
+    "english": lambda: porter2_stem,
+    "porter": lambda: porter_stem,
+    "german": _lazy(".snowball_de", "german_stem"),
+    "german2": _lazy(".snowball_de", "german2_stem"),
+    "spanish": _lazy(".snowball_es", "spanish_stem"),
+    "danish": _lazy(".snowball_scand", "danish_stem"),
+    "norwegian": _lazy(".snowball_scand", "norwegian_stem"),
+    "swedish": _lazy(".snowball_scand", "swedish_stem"),
+    "dutch": _lazy(".snowball_nl", "dutch_stem"),
+    "kp": _lazy(".snowball_nl", "kp_stem"),
+    "russian": _lazy(".snowball_ru", "russian_stem"),
+    "french": _lazy(".snowball_fr", "french_stem"),
+    "italian": _lazy(".snowball_romance", "italian_stem"),
+    "portuguese": _lazy(".snowball_romance", "portuguese_stem"),
+    "catalan": _lazy(".snowball_romance", "catalan_stem"),
+    "romanian": _lazy(".snowball_romance", "romanian_stem"),
+    "lithuanian": _lazy(".snowball_balt", "lithuanian_stem"),
+    "estonian": _lazy(".snowball_balt", "estonian_stem"),
+    "finnish": _lazy(".snowball_fi_hu", "finnish_stem"),
+    "hungarian": _lazy(".snowball_fi_hu", "hungarian_stem"),
+    "turkish": _lazy(".snowball_misc", "turkish_stem"),
+    "arabic": _lazy(".snowball_misc", "arabic_stem"),
+    "armenian": _lazy(".snowball_misc", "armenian_stem"),
+    "basque": _lazy(".snowball_misc", "basque_stem"),
+    "irish": _lazy(".snowball_misc", "irish_stem"),
+    "lovins": _lazy(".snowball_misc", "lovins_stem"),
+}

@@ -1,0 +1,118 @@
+"""Per-language stemmer coverage: all 26 reference stemmer names
+resolve to a real implementation (no identity fallback), inflection
+families collapse, and the reference's pinned stemming behaviors hold
+end-to-end (reference: test/beagle/phrases_test.clj:198-242)."""
+
+import warnings
+
+import pytest
+
+from beagle_spark import highlighter
+from beagle_spark.analysis.stem import get_stemmer
+
+ALL_26 = [
+    "arabic", "armenian", "basque", "catalan", "danish", "dutch",
+    "english", "estonian", "finnish", "french", "german", "german2",
+    "hungarian", "irish", "italian", "kp", "lithuanian", "lovins",
+    "norwegian", "porter", "portuguese", "romanian", "russian",
+    "spanish", "swedish", "turkish",
+]
+
+
+@pytest.mark.parametrize("lang", ALL_26)
+def test_no_identity_fallback(lang):
+    """Every language resolves without the identity-fallback warning and
+    actually changes at least one inflected form."""
+    get_stemmer.cache_clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # identity fallback would raise
+        fn = get_stemmer(lang)
+    probes = {
+        "arabic": "الكتابات", "armenian": "գրքերը", "basque": "etxeak",
+        "catalan": "cantava", "danish": "huset", "dutch": "fietsen",
+        "english": "dogs", "estonian": "majast", "finnish": "taloissa",
+        "french": "continuera", "german": "aufeinander", "german2": "häusern",
+        "hungarian": "házakat", "irish": "bhfuinneog", "italian": "cantavano",
+        "kp": "fietsen", "lithuanian": "miestas", "lovins": "nationally",
+        "norwegian": "huset", "porter": "running", "portuguese": "cantando",
+        "romanian": "orașului", "russian": "книгами", "spanish": "cantando",
+        "swedish": "flickorna", "turkish": "evlerinden",
+    }
+    probe = probes[lang]
+    assert fn(probe) != probe.lower() or fn(probe) != probe, (
+        f"{lang}: stemmer is identity on {probe!r}"
+    )
+
+
+# Inflection families that must collapse to one stem per language.
+FAMILIES = {
+    "danish": ["hus huset huse husene"],
+    "norwegian": ["bil bilen biler bilene"],
+    "swedish": ["flicka flickor flickorna", "stark starka starkast"],
+    "dutch": ["kat katten", "lichamelijk lichamelijke"],
+    "kp": ["kat katten"],
+    "russian": ["книга книги книгу книгой", "красивый красивая красивое"],
+    "french": ["continuer continua continué continue", "nationale nationaux national"],
+    "italian": ["cantare cantato cantava", "bella belle"],
+    "portuguese": ["cantar canta cantou cantado", "livro livros"],
+    "catalan": ["cantar canta cantava", "casa cases"],
+    "romanian": ["carte cartea", "naționale național"],
+    "lithuanian": ["Kaunas Kauno", "Sabonis Saboniai", "miestas miesto miestą"],
+    "estonian": ["maja majas majast majale"],
+    "finnish": ["talo talossa talosta taloon"],
+    "hungarian": ["ház házat házak házban"],
+    "turkish": ["ev evler evlerin evlerden"],
+    "arabic": ["كتاب الكتاب والكتاب"],
+    "armenian": ["գիրք գիրքը գիրքի"],
+    "basque": ["etxe etxea etxeak"],
+    "irish": ["fuinneog bhfuinneog"],
+    "english": ["dog dogs", "running runs run"],
+    "porter": ["connect connected connecting connection"],
+    "lovins": ["nation nationally"],
+    "german": ["haus hauses"],
+    "german2": ["haus hauses"],
+    "spanish": ["canta cantar cantando"],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(FAMILIES))
+def test_inflection_family_collapses(lang):
+    fn = get_stemmer(lang)
+    for family in FAMILIES[lang]:
+        words = family.split()
+        stems = {fn(w) for w in words}
+        assert len(stems) == 1, f"{lang}: {dict((w, fn(w)) for w in words)}"
+
+
+# --- reference-pinned end-to-end behaviors (phrases_test.clj:198-242) ---
+
+
+def test_lt_stemming_reference_pins():
+    # {:text "Kaunas" :stem? true :stemmer :lithuanian} matches "Kauno miestas"
+    anns = highlighter([
+        {"text": "Kaunas", "id": "1", "stem?": True, "stemmer": ":lithuanian"}
+    ])("Kauno miestas")
+    assert anns and anns[0]["text"] == "Kauno"
+    # case-insensitive variant
+    anns = highlighter([
+        {"text": "Kaunas", "id": "1", "case-sensitive?": False, "stem?": True,
+         "stemmer": ":lithuanian"}
+    ])("kauno miestas")
+    assert anns and anns[0]["text"] == "kauno"
+
+
+def test_et_stemming_reference_pin():
+    # estonian stemmer must NOT make "dog" match "dogs"
+    anns = highlighter([
+        {"text": "dog", "id": "1", "stem?": True, "stemmer": ":estonian"}
+    ])("who let the dogs out?")
+    assert anns == []
+
+
+def test_mixed_stemmers_reference_pin():
+    # {Sabonis :lithuanian, play :english} over "Saboniai plays basketball"
+    anns = highlighter([
+        {"text": "Sabonis", "id": "1", "stem?": True, "stemmer": ":lithuanian"},
+        {"text": "play", "id": "2", "stem?": True, "stemmer": ":english"},
+    ])("Saboniai plays basketball")
+    assert len(anns) == 2
