@@ -160,6 +160,35 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_verified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The full 100 TB near-dup pipeline: LSH banding prunes to
+    candidate pairs, exact n-gram Jaccard verifies ONLY those
+    candidates. Output equals the declarative 'all pairs with jaccard
+    >= threshold' whenever LSH recall is 1 at the threshold (16 bands x
+    4 rows: a jaccard-0.8 pair collides with prob ~1-(1-0.8^4)^16 ~
+    0.9997) — which is exactly what the DuckDB oracle asserts; a
+    recall miss fails the hash check rather than hiding."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .unionByName(cands.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    docs_cand = df.join(
+        cand_ids, df[id_col] == cand_ids.cid, "left_semi"
+    )
+    exact = ngram_jaccard_pairs(docs_cand, text_col, id_col, shingle_k, threshold)
+    return exact.join(cands.select("id_a", "id_b"), ["id_a", "id_b"])
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
 ) -> DataFrame:

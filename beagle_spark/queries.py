@@ -240,10 +240,18 @@ ORDER BY id_a, id_b
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (hash family not replicable in DuckDB ->
-    rows-only check; pair-level precision asserted in tests against
-    exact jaccard)."""
-    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+    """LSH-pruned + exact-verified near-dup pairs. The minhash family
+    itself isn't DuckDB-replicable, but the VERIFIED output is the
+    declarative 'pairs with jaccard >= 0.8' (assuming LSH recall 1,
+    which the oracle hash-check now actively asserts instead of the
+    old rows-only pass)."""
+    return dedup.minhash_lsh_verified(_docs(spark, sf_dir), threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# verified-LSH output must equal the exact declarative result
+DD_MINHASH_SQL = DD_NGRAM_SQL
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,9 +308,26 @@ ORDER BY id_a, id_b
 """
 
 
+def _duckdb_bucket_expr(n_planes: int, seed: int = 42, dim: int = 64) -> str:
+    """Hyperplane-LSH bucket id as a DuckDB SQL expression. The planes
+    are the same deterministic seeded values the Spark side uses
+    (similarity.make_planes), baked in as double literals — so the
+    bucketing, and therefore the LSH result, is fully oracle-expressible."""
+    planes = similarity.make_planes(dim, n_planes, seed)
+    bits = []
+    for h, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN {1 << h} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs (scale path; recall<1 by design ->
-    rows-only check, subset property asserted in tests)."""
+    """LSH-bucketed near-dup pairs (scale path; recall<1 vs sim_cos_pairs
+    by design — the oracle replicates the deterministic bucketing, so
+    the hash check covers exactly the bucket-restricted semantics)."""
     return (
         similarity.lsh_cosine_pairs(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.4, dim=64
@@ -310,6 +335,18 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+SIM_LSH_PAIRS_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_duckdb_bucket_expr(4)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+ORDER BY id_a, id_b
+"""
 
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,6 +365,20 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = _query_vec(spark, sf_dir, 0)
     return similarity.lsh_ann_topk(emb, q, k=10, payload_cols=("label",)).orderBy("vec_id")
+
+
+SIM_LSH_ANN_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v, {_duckdb_bucket_expr(6)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0)
+SELECT vec_id, label
+FROM b, q
+WHERE b.bucket = q.qb
+ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+LIMIT 10
+"""
 
 
 def rp_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,13 +550,13 @@ REGISTRY: dict = {
     # dedup
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
-    "dd_minhash_lsh": (dd_minhash_lsh, None),
+    "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_simhash": (dd_simhash, None),
     # similarity
     "sim_topk": (sim_topk, SIM_TOPK_SQL),
     "sim_cos_pairs": (sim_cos_pairs, SIM_PAIRS_SQL),
-    "sim_lsh_ann": (sim_lsh_ann, None),
-    "sim_lsh_pairs": (sim_lsh_pairs, None),
+    "sim_lsh_ann": (sim_lsh_ann, SIM_LSH_ANN_SQL),
+    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_PAIRS_SQL),
     "sim_ivf_ann": (sim_ivf_ann, None),
     "rp_hourly_rollup": (rp_hourly_rollup, RP_SQL),
     # text stats
