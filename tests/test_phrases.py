@@ -228,6 +228,15 @@ def test_dictionary_corner_cases():  # phrases_test.clj:282-292
     )
 
 
+def test_slop_edge_values():  # phrases_test.clj:308-327 (noisy-tests slop versions)
+    """nil / astronomically large / negative slop must not crash and must
+    not match a phrase containing an absent term."""
+    txt = "before start end after"
+    for slop in (None, 1_000_000_000_000, -1):
+        anns = highlighter([{"text": "end start foo", "id": "1", "slop": slop}])(txt)
+        assert anns == [], f"slop={slop}"
+
+
 def test_blank_text():  # phrases_test.clj:301-306
     hl = highlighter([{"text": "test", "id": "1"}])
     assert hl(" `  `") == []
