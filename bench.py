@@ -90,13 +90,19 @@ def main():
     results: dict[str, float] = {}
     extra: dict = {}
 
-    # repartition: the testdata is a single parquet file; at real scale
-    # the scan produces many splits naturally. This only levels the
-    # local benchmark across cores.
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(CPUS))
-    docs.cache()
+    # Partition sizing for the Python-UDF annotate path: keep >= ~500
+    # docs per task so Arrow/worker per-batch overhead amortizes (the
+    # pandas-UDF analog of spark.sql.files.maxPartitionBytes). Measured
+    # on this corpus: 32 partitions -> 1.9k docs/s, 8 -> 5.1k docs/s —
+    # over-splitting a small input makes 32 contending Python workers
+    # each do trivial work. At 100 TB the scan naturally produces
+    # full-size splits and this clamp is a no-op.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
-    log(f"documents: {n_docs}")
+    n_part = max(1, min(int(CPUS), n_docs // 500))
+    docs = docs.repartition(n_part).cache()
+    docs.count()
+    log(f"documents: {n_docs} in {n_part} partitions")
 
     # --- annotate throughput at 5k / 80k phrases (BASELINE.md headline) ---
     # warmup: spawn the python workers & do the imports once, so the
