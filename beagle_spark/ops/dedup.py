@@ -106,12 +106,17 @@ def minhash_signature_stage(df: DataFrame, text_col: str, id_col: str,
     xxhash64 + min are whole-stage-codegen'd, while higher-order array
     lambdas (transform/aggregate) are interpreted in Spark and ~10x
     slower; partial aggregation collapses to one row per doc before any
-    shuffle. Seeds are plan-time literals — deterministic everywhere."""
+    shuffle. Seeds are plan-time literals — deterministic everywhere.
+
+    The shingle STRING is hashed exactly once (_h); the num_perm hash
+    family is derived by re-hashing that single long with per-function
+    seeds — hashing an 8-byte long 64 times costs ~1/10th of hashing a
+    ~30-char string 64 times, with the same independence properties."""
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
-    )
-    mins = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)]
+    ).withColumn("_h", F.xxhash64("_sh"))
+    mins = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)]
     agged = exploded.groupBy("id").agg(*mins)
     return agged.select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
@@ -176,7 +181,13 @@ def minhash_lsh_verified(
     4 rows: a jaccard-0.8 pair collides with prob ~1-(1-0.8^4)^16 ~
     0.9997) — which is exactly what the DuckDB oracle asserts; a
     recall miss fails the hash check rather than hiding."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    # persist the candidate pairs: they are consumed three times (pair
+    # filter, id extraction, semi-join) and are tiny relative to the
+    # corpus — without this the full signature+banding stage would be
+    # recomputed per consumer
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_k
+    ).persist()
     cand_ids = (
         cands.select(F.col("id_a").alias("cid"))
         .unionByName(cands.select(F.col("id_b").alias("cid")))
