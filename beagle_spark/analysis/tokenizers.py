@@ -34,10 +34,17 @@ class Token(NamedTuple):
 # neighbors — apostrophe/'/’ or '.' between LETTERS ("John's", "U.S.A",
 # "example.com" each one token), '.' or ',' between DIGITS ("3.14",
 # "1,000"). A joiner with the wrong neighbors splits ("a,b", "R2D2.com").
+# CJK per UAX#29/Lucene: each Han ideograph / hiragana char is its own
+# token (<IDEOGRAPHIC>/<HIRAGANA>); katakana forms runs (<KATAKANA>);
+# hangul forms runs (<HANGUL>). The general alnum run excludes those
+# scripts (regex-module V1 set subtraction).
+_ALNUM = r"[[\p{L}\p{M}\p{Nd}]--[\p{Han}\p{Hiragana}\p{Katakana}]]"
 _STANDARD = re.compile(
-    r"[\p{L}\p{M}\p{Nd}]+"
-    r"(?:(?:(?<=\p{L})['’.](?=\p{L})|(?<=\p{Nd})[.,](?=\p{Nd}))[\p{L}\p{M}\p{Nd}]+)*",
-    re.UNICODE,
+    r"\p{Katakana}+"
+    r"|[\p{Han}\p{Hiragana}]"
+    rf"|{_ALNUM}+"
+    rf"(?:(?:(?<=\p{{L}})['’.](?=\p{{L}})|(?<=\p{{Nd}})[.,](?=\p{{Nd}})){_ALNUM}+)*",
+    re.UNICODE | re.V1,
 )
 # ClassicTokenizer (pre-UAX#29 Lucene grammar) emits TYPED tokens; the
 # types drive ClassicFilter (possessive/acronym stripping) downstream.

@@ -94,6 +94,19 @@ def test_standard_uax29_mid_joins():
     assert [t.text for t in std("don’t")] == ["don’t"]
 
 
+def test_standard_cjk_segmentation():
+    """Lucene StandardTokenizer CJK behavior: Han ideographs and
+    hiragana are single-char tokens; katakana and hangul form runs."""
+    std = get_tokenizer("standard")
+    assert [t.text for t in std("日本語のテキスト and English")] == [
+        "日", "本", "語", "の", "テキスト", "and", "English",
+    ]
+    assert [t.text for t in std("한국어 텍스트")] == ["한국어", "텍스트"]
+    assert [t.text for t in std("mixed日本text")] == ["mixed", "日", "本", "text"]
+    for t in std("日本語のテキスト and English"):
+        assert "日本語のテキスト and English"[t.begin : t.end] == t.text
+
+
 def test_classic_filter_default_chain():
     """ClassicFilter parity (reference text_analysis.clj:77-81 + Lucene
     ClassicFilter): applied only when stem?=false and the chain is the
