@@ -59,7 +59,21 @@ _CLASSIC_TYPED = re.compile(
 )
 _CLASSIC = _CLASSIC_TYPED
 _LETTER = re.compile(r"[\p{L}\p{M}]+", re.UNICODE)
-_WHITESPACE = re.compile(r"\S+", re.UNICODE)
+# Lucene WhitespaceTokenizer splits on java Character.isWhitespace —
+# which EXCLUDES no-break spaces (U+00A0, U+2007, U+202F);
+# UnicodeWhitespaceTokenizer splits on the Unicode whitespace property
+# (includes them). Mirror the distinction.
+_JAVA_WS = "".join(
+    chr(c)
+    for c in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20, 0x1680]
+        + list(range(0x2000, 0x2007))      # 2000-2006 (2007 is no-break)
+        + list(range(0x2008, 0x200B))      # 2008-200A
+        + [0x2028, 0x2029, 0x205F, 0x3000]
+    )
+)
+_WHITESPACE = re.compile(f"[^{re.escape(_JAVA_WS)}]+", re.UNICODE)
+_UNICODE_WHITESPACE = re.compile(r"\S+", re.UNICODE)
 # reference `strict` tokenizer regex (text_analysis.clj:58-60): splits on
 # anything NOT in [a-zA-Z0-9{}\[\]()<>#+=@&'] — i.e. tokens are runs of
 # those chars.
@@ -70,7 +84,7 @@ _PATTERNS = {
     "classic": _CLASSIC,
     "letter": _LETTER,
     "whitespace": _WHITESPACE,
-    "unicode-whitespace": _WHITESPACE,
+    "unicode-whitespace": _UNICODE_WHITESPACE,
     "strict": _STRICT,
 }
 

@@ -94,6 +94,14 @@ def test_standard_uax29_mid_joins():
     assert [t.text for t in std("don’t")] == ["don’t"]
 
 
+def test_whitespace_vs_unicode_whitespace():
+    """Lucene distinction: WhitespaceTokenizer (java isWhitespace) does
+    NOT split on no-break space; UnicodeWhitespaceTokenizer does."""
+    s = "a b normal"
+    assert [t.text for t in get_tokenizer("whitespace")(s)] == ["a b", "normal"]
+    assert [t.text for t in get_tokenizer("unicode-whitespace")(s)] == ["a", "b", "normal"]
+
+
 def test_standard_cjk_segmentation():
     """Lucene StandardTokenizer CJK behavior: Han ideographs and
     hiragana are single-char tokens; katakana and hangul form runs."""
