@@ -35,10 +35,29 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_DOC_PARTS: dict = {}
+
+
+def _docs_annot(spark, sf_dir):
+    """Documents sized for the Python-UDF annotate path: the testdata is
+    a single parquet file (one scan partition => single-threaded
+    annotate); repartition to >= ~500 docs per task, capped at the
+    core count. SQL-expression queries keep the plain scan — the extra
+    shuffle only pays for itself when Python does the per-row work."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if sf_dir not in _DOC_PARTS:
+        n = df.count()
+        _DOC_PARTS[sf_dir] = max(
+            1, min(spark.sparkContext.defaultParallelism, n // 500)
+        )
+    parts = _DOC_PARTS[sf_dir]
+    return df.repartition(parts) if parts > 1 else df
+
+
 def t1_term_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-term annotate, case-sensitive, standard tokenizer."""
     ann = Annotator([{"text": "table", "id": "t1"}])
-    df = ann.annotate_df(_docs(spark, sf_dir))
+    df = ann.annotate_df(_docs_annot(spark, sf_dir))
     return df.where(F.size("annotations") > 0).agg(
         F.count(F.lit(1)).alias("n_docs"),
     )
@@ -52,7 +71,7 @@ WHERE regexp_matches(text, '{_WB}table{_WE}')
 
 def t2_term_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = Annotator([{"text": "SPARK", "id": "t2", "case-sensitive?": False}])
-    df = ann.annotate_df(_docs(spark, sf_dir))
+    df = ann.annotate_df(_docs_annot(spark, sf_dir))
     return df.where(F.size("annotations") > 0).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -64,7 +83,7 @@ WHERE regexp_matches(lower(text), '{_WB}spark{_WE}')
 
 def t3_phrase_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = Annotator([{"text": "table scan", "id": "t3", "case-sensitive?": False}])
-    df = ann.annotate_df(_docs(spark, sf_dir))
+    df = ann.annotate_df(_docs_annot(spark, sf_dir))
     return df.where(F.size("annotations") > 0).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -77,7 +96,7 @@ WHERE regexp_matches(lower(text), '{_WB}table[^a-zA-Z0-9]+scan{_WE}')
 def t4_phrase_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Begin/end char offsets of the FIRST occurrence per document."""
     ann = Annotator([{"text": "table scan", "id": "t4", "case-sensitive?": False}])
-    ex = ann.explode(_docs(spark, sf_dir), keep_cols=["doc_id"])
+    ex = ann.explode(_docs_annot(spark, sf_dir), keep_cols=["doc_id"])
     return (
         ex.groupBy("doc_id")
         .agg(F.min(F.struct("begin_offset", "end_offset")).alias("first"))
@@ -106,7 +125,7 @@ def t5_dict_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = Annotator(
         [{"text": t, "id": t, "case-sensitive?": False} for t in T5_TERMS]
     )
-    ex = ann.explode(_docs(spark, sf_dir), keep_cols=["doc_id"])
+    ex = ann.explode(_docs_annot(spark, sf_dir), keep_cols=["doc_id"])
     return (
         ex.groupBy("doc_id")
         .agg(F.countDistinct("dict_entry_id").alias("n_matched"))
@@ -127,7 +146,7 @@ ORDER BY d.doc_id
 def t6_lucene_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene query-string surface: boolean AND/NOT match counts."""
     df = lucene_annotate_df(
-        _docs(spark, sf_dir), [{"text": "table AND spark AND NOT vector", "id": "q1"}]
+        _docs_annot(spark, sf_dir), [{"text": "table AND spark AND NOT vector", "id": "q1"}]
     )
     return df.where(F.size("query_matches") > 0).agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -173,7 +192,7 @@ def t8_matches_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = Annotator(
         [{"text": t, "id": t, "case-sensitive?": False} for t in T5_TERMS]
     )
-    ex = ann.explode(_docs(spark, sf_dir), keep_cols=["doc_id", "source"])
+    ex = ann.explode(_docs_annot(spark, sf_dir), keep_cols=["doc_id", "source"])
     return (
         ex.select("doc_id", "source", "dict_entry_id")
         .distinct()
