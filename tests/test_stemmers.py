@@ -109,6 +109,35 @@ def test_et_stemming_reference_pin():
     assert anns == []
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _WORD = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Lo", "Mn", "Nd"), max_codepoint=0x2FFF
+        ),
+        min_size=0,
+        max_size=24,
+    )
+
+    @given(_WORD)
+    @settings(max_examples=200, deadline=None)
+    def test_stemmers_total_and_deterministic(word):
+        """Every stemmer is total (no exception on arbitrary unicode-ish
+        words), deterministic, and output stays within a small bound of
+        the input length (replacement rules may lengthen slightly)."""
+        for lang in ALL_26:
+            fn = get_stemmer(lang)
+            out = fn(word)
+            assert isinstance(out, str)
+            assert out == fn(word)
+            assert len(out) <= len(word) + 4, (lang, word, out)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_mixed_stemmers_reference_pin():
     # {Sabonis :lithuanian, play :english} over "Saboniai plays basketball"
     anns = highlighter([
