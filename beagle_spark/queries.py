@@ -273,6 +273,40 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 DD_MINHASH_SQL = DD_NGRAM_SQL
 
 
+def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: LSH-pruned verified pairs ->
+    connected components (iterative min-label propagation) -> every doc
+    with its cluster id + canonical flag. The DuckDB oracle derives the
+    same components with a recursive CTE over the declarative
+    jaccard-pair edges."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_verified(docs, threshold=0.8)
+    return dedup.dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+DD_CLUSTERS_SQL = f"""
+WITH pairs AS ({DD_NGRAM_SQL.replace("ORDER BY id_a, id_b", "")}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(id, seen) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.seen FROM edges e JOIN r ON e.dst = r.id
+  )
+  SELECT id, min(seen) AS component FROM r GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(reach.component, d.doc_id) AS cluster_id,
+       coalesce(reach.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
+ORDER BY d.doc_id
+"""
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.simhash_fingerprints(_docs(spark, sf_dir))
     return out.select("id", "simhash").orderBy("id")
@@ -570,6 +604,7 @@ REGISTRY: dict = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_clusters": (dd_clusters, DD_CLUSTERS_SQL),
     "dd_simhash": (dd_simhash, None),
     # similarity
     "sim_topk": (sim_topk, SIM_TOPK_SQL),

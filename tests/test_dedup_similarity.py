@@ -137,3 +137,28 @@ def test_ivf_ann_equals_bruteforce_within_probed_cells(spark, emb):
     )
     assert got == expected
     assert 0 in got  # query's own cell is always probed first
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3, triangle 10-11-12 (with a redundant edge), isolated
+    pair 20-21: components = min id reachable; singletons absent from
+    pair input get their own cluster via dedup_clusters."""
+    from beagle_spark.ops.dedup import connected_components, dedup_clusters
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.range(25).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert out[3] == (1, False)
+    assert out[12] == (10, False)
+    assert out[21] == (20, False)
+    assert out[7] == (7, True)       # singleton
+    n_canon = sum(1 for c, canon in out.values() if canon)
+    assert n_canon == 25 - 5         # 5 non-canonical dups
