@@ -8,6 +8,13 @@ Column names are aliased identically on both sides (the driver's
 compare sorts columns by name before hashing values). Float aggregates
 are rounded identically; rankings avoid float-equality sensitivity by
 returning id sets rather than raw floats where warranted.
+
+Wall-time contract: every registry query MUST complete well under 60s
+at sf0.01 on local[32] — the driver's correctness gate runs all of
+them in one budget, and a single slow query blanks the signal for the
+whole suite (round 2's `ts_winnow` plan did exactly that). Any new
+query needs a measured sf0.01 timing before registration;
+tests/test_textstats.py shows the bounded-time guard pattern.
 """
 
 from __future__ import annotations
@@ -549,8 +556,41 @@ ORDER BY doc_id
 
 
 def ts_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = textstats.fingerprint_winnow(_docs(spark, sf_dir))
-    return out.select("doc_id", F.size("winnow_fp").alias("n_grams")).orderBy("doc_id")
+    """Winnowing document fingerprints as (doc_id, fp) rows — md5-based
+    rolling hash makes the full selected-hash set exactly DuckDB-
+    oracle-able (value compare over every fingerprint, not just
+    counts). Uses the repartitioned scan so gram hashing parallelizes
+    even from a single parquet file."""
+    return textstats.winnow_fingerprint_pairs(_docs_annot(spark, sf_dir)).orderBy(
+        "doc_id", "fp"
+    )
+
+
+# Identical winnowing plan in DuckDB: per-position md5 k-grams via a
+# lateral generate_series, windowed min (ROWS frame truncates at the
+# partition tail exactly like Spark's), distinct selected hashes.
+TS_WINNOW_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+), g AS (
+  SELECT b.doc_id,
+         t.i - 1 AS pos,
+         greatest(length(b.norm) - 4, 1) AS m,
+         md5(substring(b.norm, t.i, 5)) AS h
+  FROM base b, LATERAL (
+    SELECT unnest(range(1, greatest(length(b.norm) - 4, 1) + 1))
+  ) AS t(i)
+), wm AS (
+  SELECT doc_id, pos, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM wm
+WHERE pos <= greatest(m - 4, 0)
+ORDER BY doc_id, fp
+"""
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +658,7 @@ REGISTRY: dict = {
     "ts_quality": (ts_quality, TS_QUALITY_SQL),
     "ts_lang_id": (ts_lang_id, TS_LANG_SQL),
     "ts_fingerprint": (ts_fingerprint, TS_FP_SQL),
-    "ts_winnow": (ts_winnow, None),
+    "ts_winnow": (ts_winnow, TS_WINNOW_SQL),
     # multimodal plumbing
     "mm_features": (mm_features, MM_SQL),
 }
