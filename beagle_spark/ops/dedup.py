@@ -19,8 +19,12 @@ profile, noted per operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def normalized_text(col):
@@ -97,8 +101,23 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — the shared input relation for the
+    MinHash signature stage AND the exact-Jaccard verify stage. Compute
+    (and persist) it ONCE per pipeline run: shingling re-tokenizes the
+    full corpus text, by far the widest scan-side expression in the
+    dedup path."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    )
+
+
 def minhash_signature_stage(df: DataFrame, text_col: str, id_col: str,
-                            num_perm: int = 64, shingle_k: int = 3) -> DataFrame:
+                            num_perm: int = 64, shingle_k: int = 3,
+                            shingled: DataFrame | None = None) -> DataFrame:
     """num_perm MinHash values as array<bigint>:
     sig[i] = min over shingles of xxhash64(shingle, seed_i).
 
@@ -111,10 +130,14 @@ def minhash_signature_stage(df: DataFrame, text_col: str, id_col: str,
     The shingle STRING is hashed exactly once (_h); the num_perm hash
     family is derived by re-hashing that single long with per-function
     seeds — hashing an 8-byte long 64 times costs ~1/10th of hashing a
-    ~30-char string 64 times, with the same independence properties."""
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
+    ~30-char string 64 times, with the same independence properties.
+
+    Pass ``shingled`` (from :func:`shingle_docs`, ideally persisted) to
+    reuse an existing shingle relation instead of re-shingling."""
+    if shingled is None:
+        shingled = shingle_docs(df, text_col, id_col, shingle_k)
+    exploded = shingled.select(
+        "id", F.explode("shingles").alias("_sh")
     ).withColumn("_h", F.xxhash64("_sh"))
     mins = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)]
     agged = exploded.groupBy("id").agg(*mins)
@@ -130,14 +153,35 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    shingled: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: docs agreeing on ALL rows of any band are
     candidate near-duplicates. Returns distinct candidate pairs
     (id_a < id_b, n_bands agreement count). One shuffle on the
-    (band, bucket-hash) key — never an all-pairs product."""
+    (band, bucket-hash) key — never an all-pairs product.
+
+    ``bucket_cap`` is the skew guard for real corpora, where boilerplate
+    (empty pages, licence headers, templated docs) lands thousands of
+    near-identical docs in ONE (band, bucket) group and the self-join
+    inside it goes quadratic — the scale-killer at 100 TB. Buckets with
+    more than ``bucket_cap`` members are kept OUT of the self-join
+    (enforced structurally by a filter on a windowed per-bucket count,
+    so no oversized bucket can reach the join); instead they emit
+    star pairs (bucket-min id, member) — linear in bucket size.
+
+    Recall contract under the cap: within an oversized bucket,
+    PAIR-level recall drops from all-pairs to the star set, but every
+    member remains connected to the bucket anchor, so COMPONENT-level
+    connectivity (what dedup clustering consumes) is preserved whenever
+    the anchor pairs pass downstream verification — which they do for
+    the boilerplate/identical-doc case that creates oversized buckets
+    in the first place."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = minhash_signature_stage(df, text_col, id_col, num_perm, shingle_k)
+    sig = minhash_signature_stage(
+        df, text_col, id_col, num_perm, shingle_k, shingled=shingled
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -152,16 +196,65 @@ def minhash_lsh_candidates(
     banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    if bucket_cap is None:
+        occurrences = _bucket_self_join(banded)
+    else:
+        log.info("minhash_lsh_candidates: bucket_cap=%d skew guard active", bucket_cap)
+        w = Window.partitionBy("band", "bucket")
+        sized = banded.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
+            "_anchor", F.min("id").over(w)
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        small = sized.where(F.col("_cnt") <= bucket_cap).select("id", "band", "bucket")
+        star = (
+            sized.where((F.col("_cnt") > bucket_cap) & (F.col("id") != F.col("_anchor")))
+            .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        occurrences = _bucket_self_join(small).unionByName(star)
+    return occurrences.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def _bucket_self_join(banded: DataFrame) -> DataFrame:
+    """(id, band, bucket) -> one (id_a < id_b) row per shared bucket."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Bucket-size distribution of the banding join — the monitoring
+    query for choosing ``bucket_cap`` on a new corpus: (bucket_size,
+    n_buckets), largest first. Run on a sample before a full dedup."""
+    sig = minhash_signature_stage(df, text_col, id_col, num_perm, shingle_k)
+    rows = num_perm // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * rows + j].cast("string") for j in range(rows)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+        .groupBy("bb.band", "bb.bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy(F.desc("bucket_size"))
     )
 
 
@@ -173,31 +266,62 @@ def minhash_lsh_verified(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """The full 100 TB near-dup pipeline: LSH banding prunes to
-    candidate pairs, exact n-gram Jaccard verifies ONLY those
-    candidates. Output equals the declarative 'all pairs with jaccard
-    >= threshold' whenever LSH recall is 1 at the threshold (16 bands x
-    4 rows: a jaccard-0.8 pair collides with prob ~1-(1-0.8^4)^16 ~
-    0.9997) — which is exactly what the DuckDB oracle asserts; a
-    recall miss fails the hash check rather than hiding."""
-    # persist the candidate pairs: they are consumed three times (pair
-    # filter, id extraction, semi-join) and are tiny relative to the
-    # corpus — without this the full signature+banding stage would be
-    # recomputed per consumer
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_perm, bands, shingle_k
-    ).persist()
-    cand_ids = (
-        cands.select(F.col("id_a").alias("cid"))
-        .unionByName(cands.select(F.col("id_b").alias("cid")))
-        .distinct()
-    )
-    docs_cand = df.join(
-        cand_ids, df[id_col] == cand_ids.cid, "left_semi"
-    )
-    exact = ngram_jaccard_pairs(docs_cand, text_col, id_col, shingle_k, threshold)
-    return exact.join(cands.select("id_a", "id_b"), ["id_a", "id_b"])
+    candidate pairs, exact n-gram Jaccard verifies ONLY those pairs.
+    Output equals the declarative 'all pairs with jaccard >= threshold'
+    whenever LSH recall is 1 at the threshold (16 bands x 4 rows: a
+    jaccard-0.8 pair collides with prob ~1-(1-0.8^4)^16 ~ 0.9997) and
+    no bucket exceeds ``bucket_cap`` — which is exactly what the DuckDB
+    oracle asserts; a recall miss fails the hash check rather than
+    hiding. (Oversized buckets degrade to star pairs — see
+    :func:`minhash_lsh_candidates` for the recall contract.)
+
+    Cost structure (this is the round-3 shape; round 2 re-shingled the
+    candidate documents in the verify stage and leaked a persist):
+
+    - the corpus is shingled ONCE into a persisted (id, shingles)
+      relation consumed by both the signature stage and the verify join;
+    - verification is per candidate PAIR: join the pair list to the
+      shingle relation on each side (candidates are small -> AQE turns
+      both into broadcast joins) and take ``array_intersect`` sizes, so
+      verify work is proportional to the number of candidate pairs —
+      never to shingle co-occurrence among candidate docs (a hot
+      shingle can't reintroduce the quadratic path LSH just pruned);
+    - the (small) result is materialized eagerly, then the shingle
+      cache is dropped in a finally block — repeated calls leak
+      nothing.
+    """
+    shingled = shingle_docs(df, text_col, id_col, shingle_k).persist()
+    try:
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, num_perm, bands, shingle_k,
+            shingled=shingled, bucket_cap=bucket_cap,
+        ).select("id_a", "id_b")
+        sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sh_a"))
+        sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sh_b"))
+        out = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("_c", F.size(F.array_intersect("_sh_a", "_sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("_c")
+                    / (F.size("_sh_a") + F.size("_sh_b") - F.col("_c")),
+                    4,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        # eager materialization: the pair list is tiny relative to the
+        # corpus; computing it here lets the finally block release the
+        # shingle cache without the caller ever observing a cold plan
+        return out.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
 
 
 def connected_components(

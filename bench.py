@@ -66,9 +66,15 @@ def timed(fn):
     return time.monotonic() - t0, n
 
 
-def run_df(df):
-    # noop sink: full execution, no result materialization on the driver
-    return lambda: df.write.format("noop").mode("overwrite").save()
+def run_query(fn, spark, sf_dir):
+    """Build AND execute under the timer: some pipelines (e.g.
+    minhash_lsh_verified) materialize eagerly at construction time, so
+    timing only a pre-built DataFrame would miss their real cost. The
+    noop sink gives full execution without driver-side materialization."""
+    def go():
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+    return go
 
 
 def main():
@@ -162,11 +168,10 @@ def main():
     for name in bench_queries:
         fn, _sql = REGISTRY[name]
         try:
-            df = fn(spark, SF_DIR)
-            sec1, _ = timed(run_df(df))
+            sec1, _ = timed(run_query(fn, spark, SF_DIR))
             # min of two runs: first pays codegen/scan warmup; on a
             # shared box this also damps scheduler noise
-            sec2, _ = timed(run_df(df)) if sec1 < 30 else (sec1, None)
+            sec2, _ = timed(run_query(fn, spark, SF_DIR)) if sec1 < 30 else (sec1, None)
             sec = min(sec1, sec2)
             results[name] = round(sec, 3)
             log(f"{name}: {sec:.2f}s (cold {sec1:.2f}s)")

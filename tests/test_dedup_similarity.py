@@ -162,3 +162,50 @@ def test_connected_components_hand_graph(spark):
     assert out[7] == (7, True)       # singleton
     n_canon = sum(1 for c, canon in out.values() if canon)
     assert n_canon == 25 - 5         # 5 non-canonical dups
+
+
+def test_lsh_bucket_cap_bounds_identical_doc_blowup(spark):
+    """Skew guard: 1000 identical docs put every doc in ONE bucket per
+    band; uncapped that self-join is ~500k pairs x 16 bands. With
+    bucket_cap the oversized buckets emit star pairs only (anchor =
+    bucket min id), so the pipeline stays linear and completes fast,
+    and clustering still sees one fully-connected component."""
+    import time
+
+    from beagle_spark.ops.dedup import (
+        dedup_clusters, minhash_lsh_candidates, minhash_lsh_verified)
+
+    docs = spark.range(1000).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate licence header text repeated verbatim' AS text",
+    )
+    t0 = time.time()
+    cands = minhash_lsh_candidates(docs, bucket_cap=100)
+    rows = cands.collect()
+    assert time.time() - t0 < 120
+    # star pairs: every non-anchor doc paired with anchor 0, nothing else
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, i) for i in range(1, 1000)}
+
+    # structural guard: no oversized bucket reaches the self-join — the
+    # join side is filtered on the windowed per-bucket count
+    plan = cands._jdf.queryExecution().optimizedPlan().toString()
+    assert "_cnt" in plan
+
+    # end-to-end: verified pairs all jaccard 1.0; one component
+    verified = minhash_lsh_verified(docs, bucket_cap=100)
+    vrows = verified.collect()
+    assert len(vrows) == 999
+    assert all(r["jaccard"] == 1.0 for r in vrows)
+    clusters = dedup_clusters(docs, verified).collect()
+    assert all(r["cluster_id"] == 0 for r in clusters)
+
+
+def test_minhash_verified_no_cache_leak(spark, docs):
+    """minhash_lsh_verified must not leave persisted RDDs behind
+    (round-2 leaked the candidate cache on every call)."""
+    from beagle_spark.ops.dedup import minhash_lsh_verified
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    minhash_lsh_verified(docs, threshold=0.8).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before + 1  # only the localCheckpointed result may remain
