@@ -465,3 +465,105 @@ def simhash_fingerprints(
             ]
         ),
     )
+
+
+def simhash_fingerprints_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """SimHash variant whose 64-bit token-hash family is derived from
+    md5 hex digits — every step (md5, nibble arithmetic, bit sums, band
+    assembly) is computable bit-identically in DuckDB, which makes the
+    whole simhash pipeline exactly oracle-able. The xxhash64-based
+    :func:`simhash_fingerprints` stays the production default (one hash
+    call vs 16 nibble extractions per token); this variant exists so
+    the conformance gate can value-check simhash end-to-end.
+
+    Token-hash bit (4j + b), b in 0..3, is bit b of hex digit j of
+    md5(token): conv(digit,16,10) here, strpos('0123..ef', digit)-1 in
+    the oracle — same value. Same explode -> 64 flat conditional sums
+    shape as the production variant (codegen, map-side partial agg).
+
+    Returns (id, simhash: bigint, bands: array<bigint>) — same schema
+    as :func:`simhash_fingerprints`, consumable by
+    :func:`simhash_pairs`."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).select("id", F.md5(F.col("_tok").cast("binary")).alias("_m"))
+    nibbles = toks.select(
+        "id",
+        *[
+            F.conv(F.substring("_m", j + 1, 1), 16, 10).cast("int").alias(f"_d{j}")
+            for j in range(16)
+        ],
+    )
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"_d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_s{i}")
+        for i in range(64)
+    ]
+    agged = nibbles.groupBy("id").agg(*sums)
+    fingerprint = None
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(F.col(f"_s{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    out = agged.select("id", fingerprint.alias("simhash"))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return out.withColumn(
+        "bands",
+        F.array(
+            *[
+                F.shiftrightunsigned("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ]
+        ),
+    )
+
+
+def simhash_pairs(
+    fps: DataFrame, max_hamming: int = 8, bucket_cap: int | None = None
+) -> DataFrame:
+    """Consume simhash band keys: docs sharing ANY exact band are
+    candidates (equi-join on (band_idx, band_val) — never all-pairs),
+    then exact hamming verify via bit_count(xor) <= max_hamming,
+    all JVM-side. With 4 bands of 16 bits, banding recall is 1 for
+    max_hamming <= 3 (pigeonhole: 3 flipped bits can't touch all 4
+    bands); above that it's the standard simhash trade-off.
+
+    ``fps`` is the output of :func:`simhash_fingerprints` or
+    :func:`simhash_fingerprints_md5`. ``bucket_cap`` applies the same
+    oversized-bucket star-pair guard as the MinHash path (see
+    :func:`minhash_lsh_candidates`)."""
+    banded = fps.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_val")
+    ).withColumnRenamed("band_idx", "band").withColumnRenamed("band_val", "bucket")
+    if bucket_cap is None:
+        occ = _bucket_self_join(banded)
+    else:
+        w = Window.partitionBy("band", "bucket")
+        sized = banded.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
+            "_anchor", F.min("id").over(w)
+        )
+        small = sized.where(F.col("_cnt") <= bucket_cap).select("id", "band", "bucket")
+        star = (
+            sized.where((F.col("_cnt") > bucket_cap) & (F.col("id") != F.col("_anchor")))
+            .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        occ = _bucket_self_join(small).unionByName(star)
+    cand = occ.distinct()
+    fa = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("_ha"))
+    fb = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

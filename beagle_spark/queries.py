@@ -315,8 +315,105 @@ ORDER BY d.doc_id
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup.simhash_fingerprints(_docs(spark, sf_dir))
-    return out.select("id", "simhash").orderBy("id")
+    """SimHash fingerprints via the md5-nibble hash family, returned as
+    the four 16-bit band values (b0..b3 = bits [0,16)..[48,64)) — every
+    arithmetic step is replicated in DuckDB, so the fingerprints are
+    value-exact oracle-checked. The production xxhash64 variant
+    (`dedup.simhash_fingerprints`) shares the plan shape and is covered
+    by pytest hamming tests."""
+    out = dedup.simhash_fingerprints_md5(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        *[F.col("bands")[b].alias(f"b{b}") for b in range(4)],
+    ).orderBy("doc_id")
+
+
+def _simhash_fp_cte() -> str:
+    """Shared DuckDB CTE chain computing the md5-nibble simhash band
+    values b0..b3 per document — mirrors simhash_fingerprints_md5
+    exactly: token-hash bit (4j+b) = bit b of hex digit j of
+    md5(token); fingerprint bit i = sign of the per-doc sum of
+    (2*bit - 1); band k assembles bits [16k, 16k+16)."""
+    nibbles = ", ".join(
+        f"strpos('0123456789abcdef', substring(m, {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(16)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN ((d{i // 4} >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(64)
+    )
+    bands = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s{16 * k + t} > 0 THEN {1 << t} ELSE 0 END" for t in range(16)
+        )
+        + f") AS b{k}"
+        for k in range(4)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(tok) AS m FROM toks
+), d AS (
+  SELECT doc_id, {nibbles} FROM h
+), s AS (
+  SELECT doc_id, {sums} FROM d GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {bands} FROM s
+)"""
+
+
+DD_SIMHASH_SQL = (
+    _simhash_fp_cte()
+    + """
+SELECT doc_id, CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+       CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3
+FROM fp ORDER BY doc_id
+"""
+)
+
+
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from simhash band keys: equi-join on
+    any shared 16-bit band (never all-pairs), exact hamming verify via
+    bit_count(xor) <= 8, all JVM-side. Oracle mirrors banding + verify
+    declaratively over the same md5-nibble fingerprints."""
+    fps = dedup.simhash_fingerprints_md5(_docs(spark, sf_dir))
+    pairs = dedup.simhash_pairs(fps, max_hamming=8)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+DD_SIMHASH_PAIRS_SQL = (
+    _simhash_fp_cte()
+    + """
+, banded AS (
+  SELECT doc_id, 0 AS band, b0 AS bucket FROM fp
+  UNION ALL SELECT doc_id, 1, b1 FROM fp
+  UNION ALL SELECT doc_id, 2, b2 FROM fp
+  UNION ALL SELECT doc_id, 3, b3 FROM fp
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+            + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3))
+          AS BIGINT) AS hamming
+  FROM cand
+  JOIN fp fa ON fa.doc_id = id_a
+  JOIN fp fb ON fb.doc_id = id_b
+)
+SELECT id_a, id_b, hamming FROM ham
+WHERE hamming <= 8
+ORDER BY id_a, id_b
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -645,7 +742,8 @@ REGISTRY: dict = {
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_NGRAM_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_clusters": (dd_clusters, DD_CLUSTERS_SQL),
-    "dd_simhash": (dd_simhash, None),
+    "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
+    "dd_simhash_pairs": (dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL),
     # similarity
     "sim_topk": (sim_topk, SIM_TOPK_SQL),
     "sim_cos_pairs": (sim_cos_pairs, SIM_PAIRS_SQL),

@@ -209,3 +209,26 @@ def test_minhash_verified_no_cache_leak(spark, docs):
     minhash_lsh_verified(docs, threshold=0.8).count()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before + 1  # only the localCheckpointed result may remain
+
+
+def test_simhash_pairs_banding_recall(spark, docs):
+    """With 4 bands of 16 bits, any pair at hamming <= 3 MUST share a
+    band (pigeonhole), so simhash_pairs at max_hamming=3 equals the
+    brute-force hamming<=3 pair set; at 8 it's a subset of brute force
+    (banding may miss) with no false positives (exact verify)."""
+    fps = dedup.simhash_fingerprints_md5(docs).cache()
+    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+    )
+    brute3 = {(r.id_a, r.id_b) for r in brute.where("hamming <= 3").collect()}
+    got3 = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(fps, max_hamming=3).collect()}
+    assert got3 == brute3
+    brute8 = {(r.id_a, r.id_b) for r in brute.where("hamming <= 8").collect()}
+    got8 = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(fps, max_hamming=8).collect()}
+    assert got8 <= brute8
+    assert len(got8) > len(got3)  # banding finds real extra pairs here
+    fps.unpersist()
