@@ -209,19 +209,12 @@ def lsh_cosine_pairs(
     )
 
 
-def train_ivf_centroids(
-    df: DataFrame,
-    n_centroids: int = 16,
-    vec_col: str = "embedding",
-    sample: int = 2000,
-    iters: int = 10,
-    seed: int = 42,
+def kmeans_centroids(
+    x: np.ndarray, n_centroids: int = 16, iters: int = 10, seed: int = 42
 ) -> list[list[float]]:
-    """Driver-side k-means on a sample: the IVF coarse quantizer.
-    Deterministic (seeded init, fixed iterations). At 100 TB you train
-    once on a sample and persist the centroids with the table."""
-    rows = df.select(vec_col).limit(sample).collect()
-    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    """Deterministic seeded k-means (fixed iterations) over a float64
+    sample matrix — the shared IVF-quantizer core, also used to bake
+    identical centroid literals into the DuckDB oracle."""
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -232,6 +225,23 @@ def train_ivf_centroids(
             if len(members):
                 cent[c] = members.mean(axis=0)
     return cent.tolist()
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Driver-side k-means on a sample: the IVF coarse quantizer.
+    Deterministic (seeded init, fixed iterations; the sample is the
+    file-order row prefix, so any reader reproduces it). At 100 TB you
+    train once on a sample and persist the centroids with the table."""
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return kmeans_centroids(x, n_centroids, iters, seed)
 
 
 def ivf_assign(vec_col, centroids: list[list[float]]):

@@ -508,14 +508,89 @@ ORDER BY id_a, id_b
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer) ANN: deterministic seeded training,
-    2-cell probe, exact re-rank (rows-only check; equivalence to
-    brute-force-within-cells asserted in tests)."""
+    2-cell probe, exact re-rank. Oracle-exact: the trained centroids are
+    deterministic given the seed and the file-order sample, so the
+    DuckDB oracle bakes the SAME centroids as double literals (exactly
+    like the hyperplane-LSH oracle) and replicates cell assignment +
+    probe + re-rank declaratively."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = _query_vec(spark, sf_dir, 0)
     cents = similarity.train_ivf_centroids(emb, n_centroids=8)
     return similarity.ivf_ann_topk(
         emb, q, cents, k=10, n_probe=2, payload_cols=("label",)
     ).orderBy("vec_id")
+
+
+def _ivf_oracle_sql() -> str:
+    """Bake the IVF quantizer into DuckDB SQL. Training replicates
+    similarity.train_ivf_centroids exactly: the sample is the file-order
+    row prefix (pyarrow read == Spark's limit() on the single-file
+    scan), the core is the shared kmeans_centroids. FP-exactness of the
+    per-row cell assignment: the squared-distance expression is an
+    explicit left-associative `(v[j]-c)*(v[j]-c)` sum chain, the same
+    IEEE add order as the numpy sequential-over-dims fold in
+    `similarity.ivf_assign`; the CASE chain picks the FIRST minimal
+    cell, matching np.argmin tie behavior.
+
+    The oracle is a static string, so the training data scale comes
+    from $SPARK_GRAFT_SF_DIR at build time, defaulting to sf0.01 — the
+    scale the driver's correctness gate runs at."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = tbl.column("embedding").to_pylist()
+    x = np.array(emb[:2000], dtype=np.float64)
+    cents = similarity.kmeans_centroids(x, n_centroids=8, iters=10, seed=42)
+    vids = tbl.column("vec_id").to_pylist()
+    q = np.array(emb[vids.index(0)], dtype=np.float64)
+    order = np.argsort(((np.array(cents) - q) ** 2).sum(axis=1))
+    probe = [int(i) for i in order[:2]]
+
+    n = len(cents)
+    dists = ", ".join(
+        "("
+        + " + ".join(
+            f"(v[{j + 1}] - ({float(c[j])!r})) * (v[{j + 1}] - ({float(c[j])!r}))"
+            for j in range(len(c))
+        )
+        + f") AS d{ci}"
+        for ci, c in enumerate(cents)
+    )
+    argmin = (
+        "CASE "
+        + " ".join(
+            f"WHEN {' AND '.join(f'd{i} <= d{j}' for j in range(n) if j != i)} THEN {i}"
+            for i in range(n - 1)
+        )
+        + f" ELSE {n - 1} END"
+    )
+    # MATERIALIZED: without it DuckDB inlines the 512-term distance
+    # expressions into every argmin comparison (measured 20s vs <1s)
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), d AS MATERIALIZED (
+  SELECT vec_id, label, v, {dists} FROM e
+), a AS MATERIALIZED (
+  SELECT vec_id, label, v, {argmin} AS cell FROM d
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+)
+SELECT vec_id, label FROM a, q
+WHERE cell IN ({probe[0]}, {probe[1]})
+ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+LIMIT 10
+"""
+
+
+try:
+    SIM_IVF_SQL: str | None = _ivf_oracle_sql()
+except Exception:  # testdata unavailable at import time -> rows-only check
+    SIM_IVF_SQL = None
 
 
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,7 +824,7 @@ REGISTRY: dict = {
     "sim_cos_pairs": (sim_cos_pairs, SIM_PAIRS_SQL),
     "sim_lsh_ann": (sim_lsh_ann, SIM_LSH_ANN_SQL),
     "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_PAIRS_SQL),
-    "sim_ivf_ann": (sim_ivf_ann, None),
+    "sim_ivf_ann": (sim_ivf_ann, SIM_IVF_SQL),
     "rp_hourly_rollup": (rp_hourly_rollup, RP_SQL),
     # text stats
     "ts_token_count": (ts_token_count, TS_TOKEN_SQL),
