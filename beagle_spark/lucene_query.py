@@ -62,6 +62,17 @@ class PhraseQ:
 
 
 @dataclass(frozen=True)
+class RangeQ:
+    """Term range [a TO b] / {a TO b} (classic QueryParser
+    TermRangeQuery): matches any analyzed token lexicographically
+    within the bounds; '*' endpoint = open-ended."""
+    lower: Optional[str]
+    upper: Optional[str]
+    incl_lower: bool = True
+    incl_upper: bool = True
+
+
+@dataclass(frozen=True)
 class BoolQ:
     must: tuple = ()
     should: tuple = ()
@@ -76,12 +87,19 @@ _TOK = re.compile(
         (?P<lparen>\()|(?P<rparen>\))|
         (?P<and>AND\b|&&)|(?P<or>OR\b|\|\|)|(?P<not>NOT\b|!)|
         (?P<plus>\+)|(?P<minus>-)|
+        (?P<range>[\[\{][^\[\]{}]*?\sTO\s[^\[\]{}]*?[\]\}])|
         (?P<phrase>"(?:[^"\\]|\\.)*"(?:~(?P<pslop>\d+))?)|
         (?P<regex>/(?:[^/\\]|\\.)*/)|
-        (?P<term>[^\s()"/]+)
+        (?P<boost>\^\d+(?:\.\d+)?)|
+        (?P<term>(?:\\.|[^\s()"/\\^\[\]{}])+)
     )""",
     re.VERBOSE,
 )
+
+
+def _unescape(s: str) -> str:
+    """Remove QueryParser backslash escapes: '\\X' -> 'X'."""
+    return re.sub(r"\\(.)", r"\1", s)
 
 
 class ParseError(ValueError):
@@ -100,7 +118,7 @@ def _lex(s: str):
         i = m.end()
         kind = m.lastgroup if m.lastgroup != "pslop" else "phrase"
         for k in ("lparen", "rparen", "and", "or", "not", "plus", "minus",
-                  "phrase", "regex", "term"):
+                  "range", "phrase", "regex", "boost", "term"):
             if m.group(k):
                 out.append((k, m.group(k), m.groupdict().get("pslop")))
                 break
@@ -157,17 +175,27 @@ class _Parser:
                 break
             if kind == "plus":
                 self.next()
-                must.append(self.parse_atom())
+                must.append(self.parse_boosted_atom())
             elif kind in ("minus", "not"):
                 self.next()
-                must_not.append(self.parse_atom())
+                must_not.append(self.parse_boosted_atom())
             else:
-                should.append(self.parse_atom())
+                should.append(self.parse_boosted_atom())
         if not (must or should or must_not):
             raise ParseError("empty clause")
         if len(should) == 1 and not must and not must_not:
             return should[0]
         return BoolQ(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+
+    def parse_boosted_atom(self):
+        """Atom plus any trailing boost tokens (`term^2`, `"a b"^3`,
+        `(x y)^0.5`). Boosts are irrelevant to boolean matching (the
+        reference's SIMPLE_MATCHER ignores scores), so they are parsed
+        and dropped — NOT a parse error."""
+        node = self.parse_atom()
+        while self.peek()[0] == "boost":
+            self.next()
+        return node
 
     def parse_atom(self):
         kind, text, pslop = self.next()
@@ -179,25 +207,47 @@ class _Parser:
         if kind == "phrase":
             body = text[1 : text.rindex('"')]
             slop = int(pslop) if pslop else 0
-            terms = tuple(t.text for t in analyze(body, self.conf))
+            terms = tuple(t.text for t in analyze(_unescape(body), self.conf))
             if not terms:
                 raise ParseError(f"phrase analyzes to no terms: {body!r}")
             return PhraseQ(terms=terms, slop=slop)
         if kind == "regex":
             return RegexpQ(pattern=text[1:-1])
+        if kind == "range":
+            m = re.fullmatch(
+                r"([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])", text
+            )
+            if not m:
+                raise ParseError(f"malformed range: {text!r}")
+            lo_raw, hi_raw = _unescape(m.group(2)), _unescape(m.group(3))
+
+            def endpoint(raw):
+                if raw == "*":
+                    return None
+                analyzed = [t.text for t in analyze(raw, self.conf)]
+                return analyzed[0] if analyzed else raw
+
+            return RangeQ(
+                lower=endpoint(lo_raw),
+                upper=endpoint(hi_raw),
+                incl_lower=m.group(1) == "[",
+                incl_upper=m.group(4) == "]",
+            )
         if kind == "term":
-            # field:term -> ignore the field prefix (single-field engine)
-            if ":" in text and not text.startswith(":"):
-                text = text.split(":", 1)[1]
+            # field:term -> ignore the field prefix (single-field
+            # engine); the colon must not be escaped
+            m = re.match(r"^(?:\\.|[^\\:])+:(?!$)", text)
+            if m and not text.startswith(":"):
+                text = text[m.end():]
             fuzzy = None
-            m = re.fullmatch(r"(.+?)~(\d*)", text)
+            m = re.fullmatch(r"(.+?)(?<!\\)~(\d*)", text)
             if m:
                 text, n = m.group(1), m.group(2)
                 fuzzy = int(n) if n else 2
-            if any(c in text for c in "*?"):
-                return WildcardQ(pattern=text if fuzzy is None else text)
-            analyzed = [t.text for t in analyze(text, self.conf)]
-            term = analyzed[0] if analyzed else text
+            if re.search(r"(?<!\\)[*?]", text):
+                return WildcardQ(pattern=text)
+            analyzed = [t.text for t in analyze(_unescape(text), self.conf)]
+            term = analyzed[0] if analyzed else _unescape(text)
             if fuzzy is not None:
                 return FuzzyQ(term=term, max_edits=fuzzy)
             return TermQ(term=term)
@@ -216,14 +266,31 @@ def parse_query(query_string: str, conf) -> BoolQ | TermQ | PhraseQ | RegexpQ | 
 # ---------------------------------------------------------------------------
 def _wildcard_to_regex(pattern: str) -> re.Pattern:
     parts = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):  # escaped char is literal
+            parts.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "*":
             parts.append(".*")
         elif ch == "?":
             parts.append(".")
         else:
             parts.append(re.escape(ch))
+        i += 1
     return re.compile("".join(parts))
+
+
+def _in_range(t: str, node: "RangeQ") -> bool:
+    if node.lower is not None:
+        if t < node.lower or (not node.incl_lower and t == node.lower):
+            return False
+    if node.upper is not None:
+        if t > node.upper or (not node.incl_upper and t == node.upper):
+            return False
+    return True
 
 
 def eval_query(node, token_list: list[str], token_set: set) -> bool:
@@ -237,6 +304,8 @@ def eval_query(node, token_list: list[str], token_set: set) -> bool:
     if isinstance(node, RegexpQ):
         rx = re.compile(node.pattern)
         return any(rx.fullmatch(t) for t in token_set)
+    if isinstance(node, RangeQ):
+        return any(_in_range(t, node) for t in token_set)
     if isinstance(node, PhraseQ):
         k = len(node.terms)
         if k == 1:
@@ -289,6 +358,18 @@ def to_spark_predicate(node, tokens_col):
         return F.exists(tokens_col, lambda t: t.rlike(f"^(?:{pat})$"))
     if isinstance(node, PhraseQ) and len(node.terms) == 1:
         return F.array_contains(tokens_col, node.terms[0])
+    if isinstance(node, RangeQ):
+        def in_range(t):
+            cond = F.lit(True)
+            if node.lower is not None:
+                lo = F.lit(node.lower)
+                cond = cond & ((t >= lo) if node.incl_lower else (t > lo))
+            if node.upper is not None:
+                hi = F.lit(node.upper)
+                cond = cond & ((t <= hi) if node.incl_upper else (t < hi))
+            return cond
+
+        return F.exists(tokens_col, in_range)
     if isinstance(node, FuzzyQ):
         raise ValueError("fuzzy term not SQL-expressible; use the UDF path")
     if isinstance(node, BoolQ):

@@ -94,3 +94,89 @@ def test_spark_predicate_compiles(spark):
         r["id"] for r in df.filter(to_spark_predicate(node, F.col("tokens"))).collect()
     )
     assert got == [1, 4]
+
+
+# --- classic QueryParser completeness: ranges, boosts, escapes -------------
+def test_range_inclusive_exclusive():
+    ann = lucene_annotator([{"text": "[bat TO dog]", "id": "q"}])
+    assert ann("a cat here")          # bat <= cat <= dog
+    assert ann("the bat itself")      # inclusive lower
+    assert ann("the dog itself")      # inclusive upper
+    assert not ann("an ant only")
+    assert not ann("an elephant only")
+    ann = lucene_annotator([{"text": "{bat TO dog}", "id": "q"}])
+    assert ann("a cat here")
+    assert not ann("the bat itself")  # exclusive lower
+    assert not ann("the dog itself")  # exclusive upper
+
+
+def test_range_open_ended_and_field_prefix():
+    ann = lucene_annotator([{"text": "[m TO *]", "id": "q"}])
+    assert ann("zebra nap")
+    assert not ann("apple bee")
+    ann = lucene_annotator([{"text": "title:[a TO c]", "id": "q"}])
+    assert ann("a banana")  # field prefix ignored (single-field engine)
+
+
+def test_range_combines_with_booleans():
+    ann = lucene_annotator([{"text": "alpha AND [bat TO dog]", "id": "q"}])
+    assert ann("alpha cat")
+    assert not ann("alpha zebra")
+    assert not ann("cat only")
+
+
+def test_boosts_parse_and_ignore():
+    ann = lucene_annotator([{"text": "table^2", "id": "q"}])
+    assert ann("a table here")
+    assert not ann("nothing")
+    ann = lucene_annotator([{"text": '"big scan"^3 OR missing^0.5', "id": "q"}])
+    assert ann("big scan now")
+    assert ann("missing now")
+    assert not ann("other text")
+    ann = lucene_annotator([{"text": "(alpha OR beta)^4", "id": "q"}])
+    assert ann("beta x")
+
+
+def test_backslash_escapes():
+    # escaped parens/colon are literal; analysis strips punctuation, so
+    # the escaped form must parse (not error) and match the inner term
+    ann = lucene_annotator([{"text": r"\(quoted\)", "id": "q"}])
+    assert ann("a quoted word")
+    # escaped wildcard is literal -> not a wildcard query
+    ann = lucene_annotator([{"text": r"tabl\*", "id": "q"}])
+    assert not ann("table here")
+    # escaped ~ is not fuzzy
+    ann = lucene_annotator([{"text": r"approx\~", "id": "q"}])
+    assert ann("approx z")  # analyzer drops the ~
+    # unescaped wildcard still works when mixed with escapes
+    ann = lucene_annotator([{"text": r"ta\?bl*", "id": "q"}])
+    assert not ann("table")
+
+
+def test_new_syntax_parse_failures_drop_not_raise():
+    # still-malformed forms must log+drop per lucene_alpha.clj:41-43,
+    # never raise out of compile
+    ann = lucene_annotator(
+        [
+            {"text": "[a TO", "id": "bad1"},      # unterminated range
+            {"text": "term^", "id": "bad2"},      # dangling boost
+            {"text": "^2", "id": "bad3"},         # boost without atom
+            {"text": "ok", "id": "good"},
+        ]
+    )
+    anns = ann("ok a to term 2")
+    assert [a["dict_entry_id"] for a in anns] == ["good"]
+
+
+def test_spark_predicate_range(spark):
+    from pyspark.sql import functions as F
+
+    node = parse_query("[bat TO dog]", CONF)
+    df = spark.createDataFrame(
+        [(1, ["cat"]), (2, ["ant"]), (3, ["bat"]), (4, ["zebra"])],
+        ["id", "tokens"],
+    )
+    got = sorted(
+        r["id"] for r in df.filter(to_spark_predicate(node, F.col("tokens"))).collect()
+    )
+    assert got == [1, 3]
