@@ -185,10 +185,23 @@ def finnish_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Hungarian
+# Hungarian — published Snowball program structure
+# (snowballstem.org/algorithms/hungarian/stemmer.html): R1 with the
+# word-initial-vowel/digraph rule, then the nine steps in program
+# order: instrumental (with consonant undoubling), frequent cases with
+# á->a/é->e restoration, special cases, 'stul' cases, factive (with
+# undoubling), owned, singular-owner, plural-owner, plural.
 # ---------------------------------------------------------------------------
-_HU_VOWELS = frozenset("aeiouöüáéíóőúű")
-_HU_DIGRAPHS = ("cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs", "dzs")
+_HU_VOWELS = frozenset("aáeéiíoóöőuúüű")
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+
+# double consonants (digraph doubles spelled with the first letter
+# repeated: ccs = cs+cs etc.); undoubling removes the repeated letter
+_HU_DOUBLES = (
+    "ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+    "pp", "rr", "ss", "tt", "vv", "zz",
+)
 
 _HU_CASES = sorted(
     [
@@ -201,17 +214,46 @@ _HU_CASES = sorted(
     key=len,
     reverse=True,
 )
-_HU_POSSESSIVES = sorted(
-    [
-        "ánk", "énk", "unk", "ünk", "nk", "juk", "jük", "uk", "ük",
-        "ájuk", "éjük", "ám", "ém", "om", "em", "öm", "m", "ád", "éd",
-        "od", "ed", "öd", "d", "ája", "éje", "ja", "je", "a", "e", "o",
-        "á", "é",
-    ],
-    key=len,
-    reverse=True,
+
+# suffix -> replacement ('' = delete, 'a'/'e' = accent restoration)
+_HU_CASE_SPECIAL = (("ánként", "a"), ("én", "e"), ("án", "a"))
+_HU_CASE_OTHER = (
+    ("ástul", "a"), ("éstül", "e"),
+    ("astul", ""), ("estül", ""), ("stul", ""), ("stül", ""),
 )
-_HU_PLURALS = sorted(["ák", "ék", "ök", "ok", "ek", "ak", "k"], key=len, reverse=True)
+_HU_OWNED = (
+    ("áké", "a"), ("éké", "e"), ("ájé", "a"), ("éjé", "e"),
+    ("aké", ""), ("eké", ""), ("oké", ""), ("öké", ""), ("jé", ""),
+    ("ké", ""), ("éé", "e"), ("é", ""),
+)
+_HU_SING_OWNER = (
+    ("ánk", "a"), ("énk", "e"), ("unk", ""), ("ünk", ""), ("nk", ""),
+    ("ájuk", "a"), ("éjük", "e"), ("juk", ""), ("jük", ""),
+    ("uk", ""), ("ük", ""),
+    ("ám", "a"), ("ém", "e"), ("am", ""), ("em", ""), ("om", ""), ("m", ""),
+    ("ád", "a"), ("éd", "e"), ("ad", ""), ("ed", ""), ("od", ""),
+    ("öd", ""), ("d", ""),
+    ("ája", "a"), ("éje", "e"), ("ja", ""), ("je", ""),
+    ("a", ""), ("e", ""), ("o", ""), ("á", "a"), ("é", "e"),
+)
+_HU_PLUR_OWNER = (
+    ("jaitok", ""), ("jeitek", ""), ("áitok", "a"), ("éitek", "e"),
+    ("aitok", ""), ("eitek", ""), ("itek", ""),
+    ("jaink", ""), ("jeink", ""), ("áink", "a"), ("éink", "e"),
+    ("aink", ""), ("eink", ""), ("ink", ""),
+    ("jaim", ""), ("jeim", ""), ("áim", "a"), ("éim", "e"),
+    ("aim", ""), ("eim", ""), ("im", ""),
+    ("jaid", ""), ("jeid", ""), ("áid", "a"), ("éid", "e"),
+    ("aid", ""), ("eid", ""), ("id", ""),
+    ("jaik", ""), ("jeik", ""), ("áik", "a"), ("éik", "e"),
+    ("aik", ""), ("eik", ""), ("ik", ""),
+    ("jai", ""), ("jei", ""), ("ái", "a"), ("éi", "e"),
+    ("ai", ""), ("ei", ""), ("i", ""),
+)
+_HU_PLURAL = (
+    ("ák", "a"), ("ék", "e"),
+    ("ök", ""), ("ok", ""), ("ek", ""), ("ak", ""), ("k", ""),
+)
 
 
 def _hu_r1(w: str) -> int:
@@ -219,7 +261,7 @@ def _hu_r1(w: str) -> int:
     if not w:
         return 0
     if w[0] in _HU_VOWELS:
-        # after the first consonant (digraphs count as one)
+        # after the first consonant (a digraph counts as one consonant)
         i = 1
         while i < n:
             if w[i] not in _HU_VOWELS:
@@ -236,10 +278,28 @@ def _hu_r1(w: str) -> int:
     return n
 
 
-def _hu_unaccent_last(w: str) -> str:
-    if w.endswith("á"):
+def _hu_apply(w: str, r1: int, table) -> tuple[str, bool]:
+    """Longest-match removal/replacement from a (suffix, repl) table,
+    conditioned on the match point lying in R1."""
+    for suf, repl in sorted(table, key=lambda t: len(t[0]), reverse=True):
+        i = len(w) - len(suf)
+        if w.endswith(suf) and i >= r1:
+            return w[:i] + repl, True
+    return w, False
+
+
+def _hu_undouble(w: str) -> str:
+    for d in _HU_DOUBLES:
+        if w.endswith(d):
+            # drop the repeated first letter: 'bb'->'b', 'ccs'->'cs'
+            return w[: len(w) - len(d)] + d[1:]
+    return w
+
+
+def _hu_v_ending(w: str, r1: int) -> str:
+    if w.endswith("á") and len(w) - 1 >= r1:
         return w[:-1] + "a"
-    if w.endswith("é"):
+    if w.endswith("é") and len(w) - 1 >= r1:
         return w[:-1] + "e"
     return w
 
@@ -250,27 +310,39 @@ def hungarian_stem(word: str) -> str:
         return w
     r1 = _hu_r1(w)
 
-    # case endings
-    for suf in _HU_CASES:
+    # 1. instrumental case: -al/-el after a double consonant; undouble
+    for suf in ("al", "el"):
         i = len(w) - len(suf)
-        if w.endswith(suf) and i >= r1 and i >= 2:
-            w = w[:i]
-            w = _hu_unaccent_last(w)
+        if w.endswith(suf) and i >= r1 and any(
+            w[:i].endswith(d) for d in _HU_DOUBLES
+        ):
+            w = _hu_undouble(w[:i])
             break
 
-    # possessives
-    for suf in _HU_POSSESSIVES:
+    # 2. frequent cases, then á/é restoration
+    w2, hit = _hu_apply(w, r1, [(s, "") for s in _HU_CASES])
+    if hit:
+        w = _hu_v_ending(w2, r1)
+    else:
+        # 3./4. special and 'stul' cases
+        for table in (_HU_CASE_SPECIAL, _HU_CASE_OTHER):
+            w2, hit = _hu_apply(w, r1, table)
+            if hit:
+                w = w2
+                break
+
+    # 5. factive case: -á/-é after a double consonant; undouble
+    for suf in ("á", "é"):
         i = len(w) - len(suf)
-        if w.endswith(suf) and i >= r1 and i >= 3:
-            w = w[:i]
-            w = _hu_unaccent_last(w)
+        if w.endswith(suf) and i >= r1 and any(
+            w[:i].endswith(d) for d in _HU_DOUBLES
+        ):
+            w = _hu_undouble(w[:i])
             break
 
-    # plural
-    for suf in _HU_PLURALS:
-        i = len(w) - len(suf)
-        if w.endswith(suf) and i >= r1 and i >= 2:
-            w = w[:i]
-            w = _hu_unaccent_last(w)
-            break
+    # 6. owned  7. singular owner  8. plural owner  9. plural
+    w, _ = _hu_apply(w, r1, _HU_OWNED)
+    w, _ = _hu_apply(w, r1, _HU_SING_OWNER)
+    w, _ = _hu_apply(w, r1, _HU_PLUR_OWNER)
+    w, _ = _hu_apply(w, r1, _HU_PLURAL)
     return w

@@ -27,61 +27,128 @@ matching needs.
 from __future__ import annotations
 
 # ---------------------------------------------------------------------------
-# Turkish
+# Turkish — Çilden's algorithm as published for Snowball
+# (snowballstem.org/algorithms/turkish/stemmer.html): multi-syllable
+# guard, nominal-verb suffix chain then noun-suffix loop, suffix
+# templates with two-dimensional vowel harmony (A-type frontness,
+# I-type frontness+roundedness) validated at the stem boundary,
+# buffer-consonant (y) allowed only after a vowel, and final-consonant
+# devoicing reversal (b/c/d/ğ -> p/ç/t/k).
 # ---------------------------------------------------------------------------
 _TR_VOWELS = frozenset("aeıioöuü")
-_TR_FRONT = frozenset("eiöü")
-_TR_BACK = frozenset("aıou")
 
-# (suffix, harmony-class of its vowel: 'f'=front, 'b'=back, None=either)
-_TR_NOMINAL = [
-    ("larının", "b"), ("lerinin", "f"), ("larından", "b"), ("lerinden", "f"),
-    ("larında", "b"), ("lerinde", "f"), ("larına", "b"), ("lerine", "f"),
-    ("ların", "b"), ("lerin", "f"), ("lardan", "b"), ("lerden", "f"),
-    ("larda", "b"), ("lerde", "f"), ("lara", "b"), ("lere", "f"),
-    ("ları", "b"), ("leri", "f"), ("lar", "b"), ("ler", "f"),
-    ("ından", "b"), ("inden", "f"), ("undan", "b"), ("ünden", "f"),
-    ("ımız", "b"), ("imiz", "f"), ("umuz", "b"), ("ümüz", "f"),
-    ("ınız", "b"), ("iniz", "f"), ("unuz", "b"), ("ünüz", "f"),
-    ("ında", "b"), ("inde", "f"), ("unda", "b"), ("ünde", "f"),
-    ("ına", "b"), ("ine", "f"), ("una", "b"), ("üne", "f"),
-    ("nın", "b"), ("nin", "f"), ("nun", "b"), ("nün", "f"),
-    ("dan", "b"), ("den", "f"), ("tan", "b"), ("ten", "f"),
-    ("ın", "b"), ("in", "f"), ("un", "b"), ("ün", "f"),
-    ("da", "b"), ("de", "f"), ("ta", "b"), ("te", "f"),
-    ("ya", "b"), ("ye", "f"), ("yı", "b"), ("yi", "f"),
-    ("yu", "b"), ("yü", "f"), ("sı", "b"), ("si", "f"),
-    ("su", "b"), ("sü", "f"), ("ı", "b"), ("i", "f"),
-    ("u", "b"), ("ü", "f"),
-]
+# template metachars: A -> a/e (frontness harmony); I -> ı/i/u/ü (full
+# harmony); D -> d/t; parenthesized leading letter = optional buffer
+# consonant, valid only after a vowel
+_TR_HARMONY_PREV = {
+    "a": "aıou", "e": "eiöü",           # A-type: frontness only
+    "ı": "aı", "i": "ei", "u": "ou", "ü": "öü",  # I-type: + roundedness
+}
 
 
-def _tr_harmony_ok(stem: str, cls: str | None) -> bool:
-    if cls is None:
-        return True
-    for c in reversed(stem):
+def _tr_expand(template: str):
+    """Expand a suffix template into (concrete_suffix, optional_buffer)
+    pairs, keeping only internally-harmonic expansions."""
+    buffer = ""
+    if template.startswith("("):
+        buffer, template = template[1], template[3:]
+    forms = [""]
+    for ch in template:
+        if ch == "A":
+            forms = [f + v for f in forms for v in "ae"]
+        elif ch == "I":
+            forms = [f + v for f in forms for v in "ıiuü"]
+        elif ch == "D":
+            forms = [f + c for f in forms for c in "dt"]
+        else:
+            forms = [f + ch for f in forms]
+
+    def harmonic(s: str) -> bool:
+        vs = [c for c in s if c in _TR_VOWELS]
+        return all(
+            vs[i] in _TR_HARMONY_PREV and vs[i - 1] in _TR_HARMONY_PREV[vs[i]]
+            for i in range(1, len(vs))
+        )
+
+    return [(f, buffer) for f in forms if harmonic(f)]
+
+
+def _tr_concrete(templates):
+    out = []
+    for t in templates:
+        for form, buf in _tr_expand(t):
+            out.append((form, None))
+            if buf:
+                out.append((buf + form, buf))
+    # longest first so e.g. 'lArI' wins over 'I'
+    return sorted(set(out), key=lambda p: len(p[0]), reverse=True)
+
+
+# nominal verb suffixes (stemmed first, per the published ordering;
+# they stack at the absolute word end: -mIş-sInIz etc.)
+_TR_NOMVERB = _tr_concrete([
+    "cAsInA", "sInIz", "(y)mIş", "(y)ken",
+    "(y)DI", "(y)sA", "(y)Iz", "(y)Im", "sIn", "DIr", "nIz",
+])
+# noun suffixes in morphotactic phases: a Turkish noun is
+# stem+plural+possessive+case(+ki), so stripping right-to-left applies
+# each phase AT MOST ONCE — an unrestricted loop overstems (e.g. it
+# would take arabaya -> araba -> arab via a second bare-vowel pass)
+_TR_KI = _tr_concrete(["ki"])
+_TR_CASE = _tr_concrete([
+    "(n)DA", "(n)DAn", "(y)A", "(y)I", "(n)In", "(y)lA", "(n)cA",
+])
+_TR_POSS = _tr_concrete(["lArI", "ImIz", "InIz", "Im", "In", "(s)I"])
+_TR_PLURAL = _tr_concrete(["lAr"])
+
+
+def _tr_last_vowel(s: str):
+    for c in reversed(s):
         if c in _TR_VOWELS:
-            return (c in _TR_BACK) if cls == "b" else (c in _TR_FRONT)
-    return True
+            return c
+    return None
+
+
+def _tr_strip(w: str, table) -> tuple[str, bool]:
+    for suf, buf in table:
+        if not w.endswith(suf):
+            continue
+        stem = w[: -len(suf)]
+        if len(stem) < 2 or not any(c in _TR_VOWELS for c in stem):
+            continue
+        # buffer consonant (y/n/s) only follows a vowel-final stem
+        if buf and (not stem or stem[-1] not in _TR_VOWELS):
+            continue
+        # boundary vowel harmony: first suffix vowel vs last stem vowel
+        sv = next((c for c in suf if c in _TR_VOWELS), None)
+        pv = _tr_last_vowel(stem)
+        if sv and pv and sv in _TR_HARMONY_PREV and pv not in _TR_HARMONY_PREV[sv]:
+            continue
+        return stem, True
+    return w, False
 
 
 def turkish_stem(word: str) -> str:
     w = word.lower()
-    if len(w) <= 3:
+    # only words of more than one syllable are stemmed
+    if sum(1 for c in w if c in _TR_VOWELS) < 2:
         return w
-    changed = True
-    rounds = 0
-    while changed and rounds < 6 and len(w) > 3:
-        changed = False
-        rounds += 1
-        for suf, cls in _TR_NOMINAL:
-            if w.endswith(suf):
-                stem = w[: -len(suf)]
-                if len(stem) >= 2 and any(c in _TR_VOWELS for c in stem) and _tr_harmony_ok(stem, cls):
-                    w = stem
-                    changed = True
-                break
-    # final devoicing reversal (b/c/d/ğ arise before vowel suffixes)
+
+    # 1. nominal verb suffix chain (they stack; bounded loop)
+    for _ in range(3):
+        w, changed = _tr_strip(w, _TR_NOMVERB)
+        if not changed:
+            break
+
+    # 2. noun suffixes, one pass per morphotactic phase
+    w, ki = _tr_strip(w, _TR_KI)
+    w, _ = _tr_strip(w, _TR_CASE)
+    if ki:  # evdeki: ki follows a case suffix -> one more case pass
+        w, _ = _tr_strip(w, _TR_CASE)
+    w, _ = _tr_strip(w, _TR_POSS)
+    w, _ = _tr_strip(w, _TR_PLURAL)
+
+    # 3. final devoicing reversal (b/c/d/ğ arise before vowel suffixes)
     if w and w[-1] in "bcdğ":
         w = w[:-1] + {"b": "p", "c": "ç", "d": "t", "ğ": "k"}[w[-1]]
     return w

