@@ -49,11 +49,20 @@ _STANDARD = re.compile(
 # ClassicTokenizer (pre-UAX#29 Lucene grammar) emits TYPED tokens; the
 # types drive ClassicFilter (possessive/acronym stripping) downstream.
 # ACRONYM = letter-dot pairs INCLUDING the trailing dot ("U.S.A.");
-# APOSTROPHE = letters with internal ASCII apostrophes ("John's").
+# APOSTROPHE = letters with internal ASCII apostrophes ("John's");
+# EMAIL / HOST / COMPANY per the classic jflex grammar ("foo@bar.com",
+# "example.com", "AT&T" are each ONE typed token). jflex resolves
+# ACRONYM-vs-HOST by longest match, so "U.S.A." is an ACRONYM but
+# dotless "U.S.A" is a HOST — the (?!\p{L}) lookahead reproduces that;
+# NUM before HOST keeps "3.14" a NUM.
 _CLASSIC_TYPED = re.compile(
-    r"(?P<ACRONYM>\p{L}\.(?:\p{L}\.)+)"
+    r"(?P<EMAIL>[\p{L}\p{Nd}]+(?:[._-][\p{L}\p{Nd}]+)*"
+    r"@[\p{L}\p{Nd}]+(?:[.-][\p{L}\p{Nd}]+)+)"
+    r"|(?P<ACRONYM>\p{L}\.(?:\p{L}\.)+(?!\p{L}))"
+    r"|(?P<COMPANY>\p{L}+[&@]\p{L}+)"
     r"|(?P<APOSTROPHE>\p{L}+(?:'\p{L}+)+)"
     r"|(?P<NUM>\p{Nd}+(?:[.,]\p{Nd}+)*)"
+    r"|(?P<HOST>[\p{L}\p{Nd}]+(?:\.[\p{L}\p{Nd}]+)+)"
     r"|(?P<ALPHANUM>[\p{L}\p{M}\p{Nd}]+)",
     re.UNICODE,
 )

@@ -329,6 +329,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs by iterative
     min-label propagation: label(v) <- min(label(v), min over neighbors
@@ -344,14 +345,30 @@ def connected_components(
     Raises if max_iter is exhausted before the fixpoint — silently
     returning unconverged labels would corrupt the dedup decision.
 
+    Checkpoint durability: by default lineage is cut with
+    localCheckpoint (executor-local storage — fast, fine for local
+    mode and tests). On a real cluster an executor loss makes
+    localCheckpointed partitions unrecoverable and fails the job
+    mid-iteration; for production runs set
+    ``reliable_checkpoint=True`` AND configure a fault-tolerant
+    checkpoint dir first (``sc.setCheckpointDir('hdfs://...')``) to
+    use reliable ``checkpoint()`` at the cost of writing each round's
+    labels to distributed storage.
+
     Returns (id, component) with component = min node id reachable —
     the canonical-document id for dedup.
     """
+    def _cut(df: DataFrame, eager: bool) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
-        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    edges = _cut(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        eager=False,
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -371,15 +388,15 @@ def connected_components(
         )
         # pointer doubling: follow the label's own label
         x, y = stepped.alias("x"), stepped.alias("y")
-        new_labels = (
+        new_labels = _cut(
             x.join(y, F.col("x.label") == F.col("y.id"), "left")
             .select(
                 F.col("x.id").alias("id"),
                 F.least(
                     F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
         changed = (
             new_labels.alias("n")

@@ -47,8 +47,15 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     (e.g. collect_list-ish payloads).
 
     The salt must vary WITHIN a key (a hash of the key itself is
-    constant per key and spreads nothing), so it is derived from the
-    row id — deterministic across retries, unlike rand()."""
+    constant per key and spreads nothing), so it is derived from
+    monotonically_increasing_id. NOTE: that id is only best-effort
+    stable — if an upstream stage recomputes with a different row
+    order (shuffle nondeterminism, task retry), rows can land in
+    different salt groups. That is harmless HERE because a count is
+    salt-invariant (any partition of the rows sums to the same total),
+    but do NOT copy this pattern into salt-sensitive aggregates; for
+    those, pass an explicit value-derived salt column the way
+    `salted_join(salt_source=...)` does."""
     return (
         df.withColumn(
             "_salt",

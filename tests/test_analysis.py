@@ -243,3 +243,20 @@ def test_spanish_matching_end_to_end():
                        "stemmer": "spanish", "case-sensitive?": False}])
     anns = hl("los trabajadores aquí")
     assert len(anns) == 1 and anns[0]["text"] == "trabajadores"
+
+
+def test_classic_tokenizer_host_email_company_types():
+    """Lucene ClassicTokenizer's pre-UAX#29 grammar: HOST/EMAIL/COMPANY
+    are single typed tokens; dotless U.S.A is a HOST by longest match
+    while dotted U.S.A. stays an ACRONYM; 3.14 stays a NUM."""
+    from beagle_spark.analysis.tokenizers import tokenize_classic_typed as tc
+
+    def types(s):
+        return [(t.text, ty) for t, ty in tc(s)]
+
+    assert types("example.com") == [("example.com", "HOST")]
+    assert types("U.S.A") == [("U.S.A", "HOST")]
+    assert types("U.S.A.") == [("U.S.A.", "ACRONYM")]
+    assert types("foo@bar.com") == [("foo@bar.com", "EMAIL")]
+    assert types("AT&T") == [("AT&T", "COMPANY")]
+    assert types("3.14") == [("3.14", "NUM")]
