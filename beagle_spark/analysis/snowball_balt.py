@@ -1,14 +1,30 @@
 """Snowball Lithuanian and Estonian stemmers, pure Python.
 
-Follows the published Snowball programs' structure (R1-conditioned
-longest-match removal of nominal case endings, then verb endings) for
+Implements the published Snowball programs' full phase structure for
 the reference's `:lithuanian` and `:estonian` stemmers (reference:
 src/beagle/text_analysis.clj:36,27; behavior pinned by
 test/beagle/phrases_test.clj:198-242 — Kaunas/Kauno and
 Sabonis/Saboniai collapse under :lithuanian; :estonian must NOT strip
-the English plural of "dogs"). Suffix tables reconstructed from the
-languages' declension systems; faithful in shape (documented
-deviation for rare forms).
+the English plural of "dogs").
+
+Lithuanian (snowballstem.org/algorithms/lithuanian/): standard R1;
+backwards within R1: fix_conflicts (diminutive e-restoration so
+vocatives/accusatives collapse with the nominative), step1 =
+longest-match removal of the nominal/adjectival/pronominal endings of
+the five declensions (incl. reflexive and illative forms), fix_chdz
+(č→t, dž→d palatalization reversal), step2 = REPEATed removal of verb
+endings, fix_chdz again, fix_gd (gd→g). Suffix tables transcribed
+from the published program's declension/conjugation comments; rare
+pronominal forms may differ (DEVIATIONS.md §3).
+
+Estonian (snowballstem.org/algorithms/estonian/): whole-word
+irregular-verb exception map first (joo/saa/too/... families), then
+standard R1; backwards: emphasis clitic (-gi/-ki), then EITHER a verb
+ending OR the nominal suite (special noun endings -mine/-lane/-line/
+-kene normalization → case ending → plural/participle markers), then
+kk/pp/tt undoubling. Single-letter endings require a preceding vowel
+— this is also what keeps English "dogs" un-stemmed (the reference's
+pinned behavior).
 """
 
 from __future__ import annotations
@@ -18,43 +34,101 @@ from __future__ import annotations
 # ---------------------------------------------------------------------------
 _LT_VOWELS = frozenset("aeiyouąęėįųū")
 
-# Nominal case endings across declensions (longest first), then verb
-# endings. The R1 condition keeps short roots intact.
-_LT_NOMINAL = sorted(
+# step1: nominal endings by declension (published program's table;
+# longest-match). Comments name the paradigm word as the program does.
+_LT_STEP1 = sorted(
     [
-        # locatives / plurals (longest)
-        "iuose", "uose", "iose", "ose", "ėse", "yse", "uyse",
-        "iomis", "omis", "ėmis", "imis", "umis", "iams", "ams", "oms",
-        "ioms", "ėms", "ims", "ums", "iais", "ais", "iai",
-        "yje", "ioje", "oje", "ėje", "uje", "ije",
-        # genitive/dative/instrumental/accusative singular & plural
-        "iaus", "aus", "iui", "ui", "ių", "ų", "io", "o", "ios", "os",
-        "ės", "ies", "ers",
-        "ias", "as", "is", "ys", "ia", "a", "ė", "ius", "us", "iu", "u",
-        "ią", "ą", "ię", "ę", "į", "ei", "ai", "ie", "i", "e", "y",
+        # I declension (vyras, kelias, brolis, gaidys)
+        "as", "ias", "is", "ys",          # nom sg
+        "o", "io",                        # gen sg
+        "ui", "iui",                      # dat sg
+        "ą", "ią", "į",                   # acc sg
+        "u", "iu",                        # ins sg
+        "e", "yje",                       # loc sg (vyre, kelyje)
+        "y", "au", "i",                   # voc sg (kely, brolau, broli)
+        "an",                             # illative sg
+        "ai", "iai",                      # nom pl
+        "ų", "ių",                        # gen pl
+        "ams", "am", "iams", "iam",       # dat pl
+        "us", "ius",                      # acc pl
+        "ais", "iais",                    # ins pl
+        "uose", "iuose", "uos", "iuos",   # loc pl
+        "uosna", "iuosna", "ysna",        # illative pl
+        # reflexive nouns (sukimasis, sukimosi, ...)
+        "asis", "aisi", "osi", "ųsi", "uisi", "ąsi", "usi", "esi",
+        # II declension (ranka, valia, marti)
+        "a", "ia",
+        "os", "ios",                      # gen sg / nom pl
+        "oje", "ioje",                    # loc sg
+        "osna", "iosna",                  # illative pl
+        "oms", "ioms",                    # dat pl
+        "as", "ias",                      # acc pl
+        "omis", "iomis",                  # ins pl
+        "ose", "iose",                    # loc pl
+        # III declension (katė)
+        "ė", "ės", "ei", "ę", "ėje",
+        "ėms", "es", "ėmis", "ėse", "ėsna",
+        # IV declension (sūnus, žmogus)
+        "aus", "iaus", "umi", "iumi", "uje", "ūs", "iūs", "ums", "umis",
+        # V declension (vanduo, akmuo) + irregulars
+        "uo", "ens", "enio", "eniui", "enį", "eniu", "enyje",
+        "enys", "enų", "enims", "enis", "enimis", "enyse",
+        # adjectival / pronominal ("įvardžiuotinės") forms
+        "ojo", "iojo", "ajam", "iajam", "ąjį", "įjį", "uoju", "iuoju",
+        "ajame", "iajame", "ieji", "iųjų", "iesiems", "uosius",
+        "iaisiais", "uosiuose",
+        "oji", "osios", "ajai", "iajai", "ąją", "iąją", "ąja", "iąja",
+        "ojoje", "iojoje", "osioms", "ąsias", "osiomis", "osiose",
     ],
     key=len,
     reverse=True,
 )
-_LT_VERB = sorted(
-    [
-        "iavo", "avo", "ojo", "ėjo", "uoja", "uoji", "iame", "iate",
-        "ame", "ate", "ome", "ote", "ėme", "ėte", "ime", "ite",
-        "iau", "jau", "au", "ei", "ti", "ta", "o", "ė", "a", "i",
-        "damas", "dama", "dami", "damos", "antis", "anti", "intis",
-    ],
-    key=len,
-    reverse=True,
-)
+
+# Verb endings (present/past/frequentative/future/conditional/
+# imperative/infinitive/participial). They join the step1 among (the
+# published program's single longest-match table spans nouns,
+# adjectives AND verbs — that is what lets 'dirbame' shed 'ame' rather
+# than the shorter locative 'e'), and step2 REPEATs them for stacked
+# morphology (frequentative 'dav', reflexive 'si', ...).
+_LT_VERB = [
+    # present
+    "ame", "iame", "ate", "iate", "ome", "ote", "ime", "ite",
+    "a", "ia", "o", "i", "u", "iu",
+    # past & frequentative past
+    "au", "ai", "ė", "ėme", "ėte", "iau",
+    "davau", "davai", "davo", "davome", "davote", "dav",
+    # future
+    "siu", "sime", "site", "s",
+    # conditional
+    "čiau", "tum", "tume", "tumėte", "tų",
+    # imperative
+    "k", "kite", "kime", "kim",
+    # infinitive & reflexive
+    "ti", "tis", "si",
+    # participles
+    "damas", "dama", "dami", "damos",
+    "antis", "anti", "ančio", "intis", "ęs", "ąs",
+]
+_LT_STEP2 = sorted(set(_LT_VERB), key=len, reverse=True)
+# The published program's step1 among spans the nominal AND verbal
+# tables in one longest-match.
+_LT_STEP1_ALL = sorted(set(_LT_STEP1) | set(_LT_VERB), key=len, reverse=True)
+
+# fix_conflicts: feminine-diminutive restoration — vocative/accusative
+# -aite/-aitę etc. restore the nominative-stem ė so they collapse with
+# it under step1's ė-removal (published program's conflict table).
+_LT_CONFLICTS = [
+    ("aitę", "aitė"), ("aite", "aitė"),
+    ("utę", "utė"), ("ute", "utė"),
+    ("ytę", "ytė"), ("yte", "ytė"),
+]
 
 
 def _lt_r1(w: str) -> int:
-    r1 = len(w)
     for i in range(1, len(w)):
         if w[i] not in _LT_VOWELS and w[i - 1] in _LT_VOWELS:
-            r1 = i + 1
-            break
-    return r1
+            return i + 1
+    return len(w)
 
 
 def lithuanian_stem(word: str) -> str:
@@ -63,21 +137,45 @@ def lithuanian_stem(word: str) -> str:
         return w
     r1 = _lt_r1(w)
 
-    for suf in _LT_NOMINAL:
-        if w.endswith(suf) and len(w) - len(suf) >= max(r1, 3):
+    def in_r1(suf: str) -> bool:
+        # Snowball `backwards setlimit tomark p1`: the candidate suffix
+        # must lie entirely within R1, and removal keeps >= 3 chars.
+        return len(w) - len(suf) >= max(r1, 3)
+
+    # fix_conflicts
+    for suf, rep in _LT_CONFLICTS:
+        if w.endswith(suf) and in_r1(suf):
+            w = w[: -len(suf)] + rep
+            break
+
+    def fix_chdz(s: str) -> str:
+        if s.endswith("č"):
+            return s[:-1] + "t"
+        if s.endswith("dž"):
+            return s[:-2] + "d"
+        return s
+
+    # step1: one longest-match removal over the combined table
+    for suf in _LT_STEP1_ALL:
+        if w.endswith(suf) and in_r1(suf):
             w = w[: -len(suf)]
             break
-    else:
-        for suf in _LT_VERB:
-            if w.endswith(suf) and len(w) - len(suf) >= max(r1, 3):
-                w = w[: -len(suf)]
-                break
+    w = fix_chdz(w)
 
-    # palatalization fixes (č/dž arise before dropped front endings)
-    if w.endswith("č"):
-        w = w[:-1] + "t"
-    elif w.endswith("dž"):
-        w = w[:-2] + "d"
+    # step2: repeat verb-ending removal to a fixpoint
+    changed = True
+    while changed:
+        changed = False
+        for suf in _LT_STEP2:
+            if w.endswith(suf) and in_r1(suf):
+                w = w[: -len(suf)]
+                changed = True
+                break
+    w = fix_chdz(w)
+
+    if w.endswith("gd") and len(w) - 1 >= max(r1, 3):
+        w = w[:-1]
+
     return w
 
 
@@ -85,38 +183,166 @@ def lithuanian_stem(word: str) -> str:
 # Estonian
 # ---------------------------------------------------------------------------
 _ET_VOWELS = frozenset("aeiouõäöü")
+_ET_LONGV = ("aa", "ee", "ii", "oo", "uu", "õõ", "ää", "öö", "üü")
 
-# Case endings attach to the vowel-final genitive stem, so removal
-# requires a preceding vowel — this is also what keeps English words
-# like "dogs" un-stemmed (the reference's pinned behavior).
-_ET_CASES = sorted(
-    ["sse", "ga", "ta", "le", "lt", "st", "ni", "na", "ks", "s", "l"],
+# Whole-word irregular-verb exceptions (the published program's
+# forward-mode exception among: monosyllabic long-vowel stems whose
+# conjugated forms are not reachable by suffix stripping).
+_ET_VERB_EXCEPTIONS = {}
+for _stem, _forms in [
+    ("joo", ["joon", "jood", "joob", "joome", "joote", "joovad",
+             "juua", "juues", "joodud"]),
+    ("saa", ["saan", "saad", "saab", "saame", "saate", "saavad",
+             "saada", "saades", "saadud"]),
+    ("too", ["toon", "tood", "toob", "toome", "toote", "toovad",
+             "tuua", "tuues", "toodud"]),
+    ("loo", ["loon", "lood", "loob", "loome", "loote", "loovad",
+             "luua", "luues", "loodud"]),
+    ("söö", ["söön", "sööd", "sööb", "sööme", "sööte", "söövad",
+             "süüa", "süües", "söödud"]),
+    ("jää", ["jään", "jääd", "jääb", "jääme", "jääte", "jäävad",
+             "jääda", "jäädes"]),
+    ("müü", ["müün", "müüd", "müüb", "müüme", "müüte", "müüvad",
+             "müüa", "müües", "müüdud"]),
+    ("käi", ["käin", "käid", "käib", "käime", "käite", "käivad",
+             "käia", "käies", "käidud"]),
+    ("vii", ["viin", "viid", "viib", "viime", "viite", "viivad",
+             "viia", "viies", "viidud"]),
+]:
+    for _f in _forms:
+        _ET_VERB_EXCEPTIONS[_f] = _stem
+
+# Verb endings (multi-letter, or single-letter gated on a preceding
+# vowel). Bare 's'/'d' are intentionally NOT here: the nominal chain
+# removes them with the same vowel condition, and claiming them as
+# verb endings would stop the nominal chain from also stripping
+# stacked case+plural markers (raamatutes -> raamatu needs s THEN te).
+_ET_VERB = sorted(
+    [
+        "nuksin", "nuksime", "nuksite",
+        "ksin", "ksime", "ksite", "ksid", "ks",
+        "sin", "sime", "site", "sid",
+        "takse", "dakse",
+        "mata", "mast", "maks", "mas", "ma",
+        "des", "da", "ta",
+        "vad", "me",
+        "ge", "gem", "gu", "ke", "kem", "ku",
+        "ti", "di",
+        "nud", "tud", "dud",
+        "b", "n",
+    ],
     key=len,
     reverse=True,
 )
-_ET_PLURAL = ("sid", "de", "te", "id", "d")
+
+# Noun-suite phase 1: derivational-suffix normalization so the
+# nominative collapses with the oblique stem (mine/mise/mist -> mis,
+# lane/lase/last -> las, line/lise/list -> lis, kene/kese/kest -> ke).
+_ET_SPECIAL_NOUN = [
+    ("misse", "mis"), ("mine", "mis"), ("mise", "mis"), ("mist", "mis"),
+    ("lasse", "las"), ("lane", "las"), ("lase", "las"), ("last", "las"),
+    ("lisse", "lis"), ("line", "lis"), ("lise", "lis"), ("list", "lis"),
+    ("kesse", "ke"), ("kene", "ke"), ("kese", "ke"), ("kest", "ke"),
+]
+
+# Case endings attach to the vowel-final genitive stem (single-letter
+# ones require the preceding vowel; that is what protects "dogs").
+_ET_CASES = sorted(
+    ["sse", "st", "lt", "le", "ks", "ni", "na", "ta", "ga", "s", "l", "t"],
+    key=len,
+    reverse=True,
+)
+# 'i' is the oblique-plural stem marker (the program's i_plural:
+# raamatuid -> [d] raamatui -> [i] raamatu), vowel-gated.
+_ET_PLURAL = sorted(["sid", "de", "te", "d", "i"], key=len, reverse=True)
+
+
+def _et_r1(w: str) -> int:
+    for i in range(1, len(w)):
+        if w[i] not in _ET_VOWELS and w[i - 1] in _ET_VOWELS:
+            return i + 1
+    return len(w)
 
 
 def estonian_stem(word: str) -> str:
     w = word.lower()
+    if w in _ET_VERB_EXCEPTIONS:
+        return _ET_VERB_EXCEPTIONS[w]
     if len(w) <= 3:
         return w
+    r1 = _et_r1(w)
 
-    def vowel_before(i: int) -> bool:
-        return i >= 1 and w[i - 1] in _ET_VOWELS
+    def in_r1(suf: str, s: str) -> bool:
+        return len(s) - len(suf) >= max(r1, 3)
 
-    # case ending (singular or after plural marker)
-    for suf in _ET_CASES:
-        i = len(w) - len(suf)
-        if w.endswith(suf) and i >= 3 and vowel_before(i):
-            w = w[:i]
-            break
+    def vowel_before(s: str, suf: str) -> bool:
+        i = len(s) - len(suf)
+        return i >= 1 and s[i - 1] in _ET_VOWELS
 
-    # plural marker
-    for suf in _ET_PLURAL:
-        i = len(w) - len(suf)
-        if w.endswith(suf) and i >= 3 and w[i - 1] in _ET_VOWELS:
-            w = w[:i]
-            break
+    removed = False
+
+    # emphasis clitic: -ki after a voiceless stop/s, -gi elsewhere
+    if len(w) >= 6:
+        if w.endswith("ki") and in_r1("ki", w) and w[-3] in "kpts":
+            w = w[:-2]
+            removed = True
+        elif w.endswith("gi") and in_r1("gi", w) and w[-3] not in "kpts":
+            w = w[:-2]
+            removed = True
+
+    # verb ending OR the nominal suite (published program's or-choice)
+    verb_hit = False
+    for suf in _ET_VERB:
+        if not (w.endswith(suf) and in_r1(suf, w)):
+            continue
+        if len(suf) == 1 and not vowel_before(w, suf):
+            continue
+        if suf in ("da", "ta", "ma") and not vowel_before(w, suf):
+            continue
+        w = w[: -len(suf)]
+        verb_hit = True
+        removed = True
+        break
+    # bare 'a' da-infinitive only after a long vowel (juua -> juu)
+    if not verb_hit and w.endswith("a") and in_r1("a", w) and w[-3:-1] in _ET_LONGV:
+        w = w[:-1]
+        verb_hit = True
+        removed = True
+
+    if not verb_hit:
+        # The nominal suite runs to a (2-pass) fixpoint so stacked
+        # case + plural + derivational markers unwind in any order
+        # (lugemises -> [case s] lugemise -> [mise->mis] ->
+        # [case s] lugemi — collapsing with lugemine/lugemist).
+        for _ in range(2):
+            pass_removed = False
+            for suf, rep in _ET_SPECIAL_NOUN:
+                if w.endswith(suf) and in_r1(suf, w):
+                    w = w[: -len(suf)] + rep
+                    pass_removed = True
+                    break
+            for suf in _ET_CASES:
+                if w.endswith(suf) and in_r1(suf, w):
+                    if len(suf) == 1 and not vowel_before(w, suf):
+                        continue
+                    if suf in ("ni", "na", "ta", "ga") and not vowel_before(w, suf):
+                        continue
+                    w = w[: -len(suf)]
+                    pass_removed = True
+                    break
+            for suf in _ET_PLURAL:
+                if w.endswith(suf) and in_r1(suf, w):
+                    if suf in ("d", "de", "sid", "i") and not vowel_before(w, suf):
+                        continue
+                    w = w[: -len(suf)]
+                    pass_removed = True
+                    break
+            if not pass_removed:
+                break
+            removed = True
+
+    # undouble kk/pp/tt exposed by a removal
+    if removed and len(w) >= 3 and w[-1] == w[-2] and w[-1] in "kpt":
+        w = w[:-1]
 
     return w

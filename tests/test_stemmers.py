@@ -57,8 +57,25 @@ FAMILIES = {
     "portuguese": ["cantar canta cantou cantado", "livro livros"],
     "catalan": ["cantar canta cantava", "casa cases"],
     "romanian": ["carte cartea", "naționale național"],
-    "lithuanian": ["Kaunas Kauno", "Sabonis Saboniai", "miestas miesto miestą"],
-    "estonian": ["maja majas majast majale"],
+    "lithuanian": [
+        "Kaunas Kauno", "Sabonis Saboniai", "miestas miesto miestą",
+        # full-paradigm pins for the published-program tables (round 3)
+        "vyras vyro vyrui vyrą vyru vyre vyrai vyrų vyrams vyrus vyrais vyruose",
+        "katė katės katei katę kačių",
+        "sūnus sūnaus sūnui sūnumi",
+        "dirba dirbo dirbame dirbti dirbk dirbdavome",
+        "lietuvaitė lietuvaite lietuvaitę",
+    ],
+    "estonian": [
+        "maja majas majast majale",
+        # full-paradigm pins for the published-program phases (round 3)
+        "maja majani majata majaga majad majade majadest",
+        "raamatus raamatust raamatusse raamatute raamatutes raamatugi raamatuid",
+        "elan elab elame elasin elasime elaks elanud",
+        "lugemine lugemise lugemist lugemises",
+        "eestlane eestlase eestlast",
+        "joob juua joome joodud",
+    ],
     "finnish": ["talo talossa talosta taloon"],
     "hungarian": ["ház házat házak házban"],
     "turkish": ["ev evler evlerin evlerden"],
