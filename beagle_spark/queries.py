@@ -506,6 +506,44 @@ ORDER BY id_a, id_b
 """
 
 
+def dd_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup decision table: LSH-bucketed
+    cosine pairs (the 100 TB path — hyperplane bucket self-join, never
+    all-pairs) -> connected components -> every vector with its cluster
+    id and a canonical flag. Same decision-table contract as
+    dd_clusters, but over the embedding column instead of text
+    shingles. Oracle: deterministic baked-plane bucketing + recursive
+    CTE."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.lsh_cosine_pairs(emb, threshold=0.4, dim=64).select(
+        "id_a", "id_b"
+    )
+    return dedup.dedup_clusters(emb, pairs, id_col="vec_id").orderBy("vec_id")
+
+
+DD_EMBED_SQL = f"""
+WITH pairs AS ({SIM_LSH_PAIRS_SQL.replace("ORDER BY id_a, id_b", "")}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(id, seen) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.seen FROM edges e JOIN r ON e.dst = r.id
+  )
+  SELECT id, min(seen) AS component FROM r GROUP BY id
+)
+SELECT e.vec_id,
+       coalesce(reach.component, e.vec_id) AS cluster_id,
+       coalesce(reach.component, e.vec_id) = e.vec_id AS is_canonical
+FROM embeddings e LEFT JOIN reach ON e.vec_id = reach.id
+ORDER BY e.vec_id
+"""
+
+
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer) ANN: deterministic seeded training,
     2-cell probe, exact re-rank. Oracle-exact: the trained centroids are
@@ -819,6 +857,7 @@ REGISTRY: dict = {
     "dd_clusters": (dd_clusters, DD_CLUSTERS_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
     "dd_simhash_pairs": (dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL),
+    "dd_embed_neardup": (dd_embed_neardup, DD_EMBED_SQL),
     # similarity
     "sim_topk": (sim_topk, SIM_TOPK_SQL),
     "sim_cos_pairs": (sim_cos_pairs, SIM_PAIRS_SQL),
