@@ -19,10 +19,16 @@ profile, noted per operator.
 
 from __future__ import annotations
 
+import hashlib
 import logging
+import re
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 log = logging.getLogger(__name__)
 
@@ -491,46 +497,66 @@ def simhash_fingerprints_md5(
     md5 hex digits — every step (md5, nibble arithmetic, bit sums, band
     assembly) is computable bit-identically in DuckDB, which makes the
     whole simhash pipeline exactly oracle-able. The xxhash64-based
-    :func:`simhash_fingerprints` stays the production default (one hash
-    call vs 16 nibble extractions per token); this variant exists so
-    the conformance gate can value-check simhash end-to-end.
+    :func:`simhash_fingerprints` stays the production JVM default; this
+    variant exists so the conformance gate can value-check simhash
+    end-to-end.
 
     Token-hash bit (4j + b), b in 0..3, is bit b of hex digit j of
-    md5(token): conv(digit,16,10) here, strpos('0123..ef', digit)-1 in
-    the oracle — same value. Same explode -> 64 flat conditional sums
-    shape as the production variant (codegen, map-side partial agg).
+    md5(token) — identical to the DuckDB oracle's
+    strpos('0123..ef', digit)-1 formulation.
+
+    Plan shape: simhash is a pure per-document function, so this is a
+    MAP-ONLY Arrow pandas UDF — no token explode, no groupBy, no
+    shuffle. (The previous explode + 64-conditional-sum aggregate
+    multiplied rows ~40x, shuffled them, and its 64-aggregate
+    HashAggregate fell out of whole-stage codegen into interpreted
+    eval; a stateless per-row kernel is both the faster and the
+    100 TB-shaped plan. Tokenization mirrors the JVM expression chain
+    trim(lower(text)) split on ASCII whitespace, and md5 runs over the
+    UTF-8 bytes, so fingerprints are bit-identical to the old plan.)
 
     Returns (id, simhash: bigint, bands: array<bigint>) — same schema
     as :func:`simhash_fingerprints`, consumable by
     :func:`simhash_pairs`."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
-    ).select("id", F.md5(F.col("_tok").cast("binary")).alias("_m"))
-    nibbles = toks.select(
-        "id",
-        *[
-            F.conv(F.substring("_m", j + 1, 1), 16, 10).cast("int").alias(f"_d{j}")
-            for j in range(16)
-        ],
+    # Java's \s is ASCII-only — match it, not Python's unicode \s.
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    # nibble value -> its four (2*bit - 1) contributions
+    _contrib = np.array(
+        [[1 if (d >> b) & 1 else -1 for b in range(4)] for d in range(16)],
+        dtype=np.int64,
     )
-    sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"_d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"_s{i}")
-        for i in range(64)
-    ]
-    agged = nibbles.groupBy("id").agg(*sums)
-    fingerprint = None
-    for i in range(64):
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        term = F.when(F.col(f"_s{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
-    out = agged.select("id", fingerprint.alias("simhash"))
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        # cache per unique token: its 64-vector of +-1 contributions
+        tok_vec: dict = {}
+
+        def vec(tok: str) -> np.ndarray:
+            v = tok_vec.get(tok)
+            if v is None:
+                m = hashlib.md5(tok.encode("utf-8")).hexdigest()[:16]
+                v = np.empty(64, dtype=np.int64)
+                for j, ch in enumerate(m):
+                    v[4 * j : 4 * j + 4] = _contrib[int(ch, 16)]
+                tok_vec[tok] = v
+            return v
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        weights = (np.int64(1) << np.arange(63)).astype(np.int64)
+        for k, t in enumerate(texts):
+            t = ("" if t is None else t).lower().strip()
+            toks = _ws.split(t) if t else [""]
+            sums = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                sums += vec(tok)
+            bits = sums > 0
+            fp = int((weights[bits[:63]]).sum())
+            if bits[63]:
+                fp -= 1 << 63
+            out[k] = fp
+        return pd.Series(out)
+
+    out = df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     return out.withColumn(
