@@ -58,7 +58,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(col, k: int = 3):
     """k-word shingles as array<string> (distinct), built scan-side with
-    split + transform — no explode until the join needs it."""
+    split + transform — no explode until the join needs it.
+
+    PERF: prefer :func:`shingle_docs`, which materializes the token
+    array in a child projection first. Inlining the split expression
+    into the transform lambda (as this expression-form necessarily
+    does) makes Spark re-evaluate trim/lower/split once PER SHINGLE
+    POSITION — measured ~9x slower on the sf0.1 corpus."""
     toks = F.split(F.trim(F.lower(col)), r"\s+")
     n = F.size(toks)
     return F.array_distinct(
@@ -80,9 +86,8 @@ def ngram_jaccard_pairs(
     threshold). Shingle-explode + equi-self-join on the shingle: cost is
     sum over shingles of df(shingle)^2 — fine after LSH pruning or at
     validation scale; use minhash_lsh_candidates as the 100 TB path."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    sh = shingle_docs(df, text_col, id_col, k).select(
+        "id", F.explode("shingles").alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -114,10 +119,27 @@ def shingle_docs(
     MinHash signature stage AND the exact-Jaccard verify stage. Compute
     (and persist) it ONCE per pipeline run: shingling re-tokenizes the
     full corpus text, by far the widest scan-side expression in the
-    dedup path."""
-    return df.select(
+    dedup path.
+
+    The token array is materialized in a child projection and the
+    transform lambda references the COLUMN — because the column is
+    referenced more than once, Catalyst keeps the projection instead
+    of re-inlining the split into the lambda (which would re-tokenize
+    the document once per shingle position — the interpreted
+    higher-order-function trap; measured ~9x slower)."""
+    toks = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+    n = F.size("_toks")
+    return toks.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k)),
+            )
+        ).alias("shingles"),
     )
 
 

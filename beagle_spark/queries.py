@@ -61,6 +61,29 @@ def _docs_annot(spark, sf_dir):
     return df.repartition(parts) if parts > 1 else df
 
 
+_DOC_PARTS_DD: dict = {}
+
+
+def _docs_dedup(spark, sf_dir):
+    """Documents sized for the shingle/signature dedup path. The
+    testdata is ONE parquet file => one scan partition, which serializes
+    the widest stage in the whole suite (shingle explode multiplies rows
+    ~200x, then 64 hash+min partial aggregates run map-side on the scan
+    partitions — measured 36s single-task vs ~4s parallel at sf0.1).
+    JVM-side work has no Arrow per-batch overhead, so the grain can be
+    finer than the annotate clamp: ~100 docs/task, capped at core
+    count. At 100 TB the scan produces natural splits and this is a
+    no-op (callers on real data should NOT add a repartition)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if sf_dir not in _DOC_PARTS_DD:
+        n = df.count()
+        _DOC_PARTS_DD[sf_dir] = max(
+            1, min(spark.sparkContext.defaultParallelism, n // 100)
+        )
+    parts = _DOC_PARTS_DD[sf_dir]
+    return df.repartition(parts) if parts > 1 else df
+
+
 def t1_term_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-term annotate, case-sensitive, standard tokenizer."""
     ann = Annotator([{"text": "table", "id": "t1"}])
@@ -236,7 +259,7 @@ ORDER BY 1
 
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.8).orderBy(
+    return dedup.ngram_jaccard_pairs(_docs_dedup(spark, sf_dir), k=3, threshold=0.8).orderBy(
         "id_a", "id_b"
     )
 
@@ -271,7 +294,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative 'pairs with jaccard >= 0.8' (assuming LSH recall 1,
     which the oracle hash-check now actively asserts instead of the
     old rows-only pass)."""
-    return dedup.minhash_lsh_verified(_docs(spark, sf_dir), threshold=0.8).orderBy(
+    return dedup.minhash_lsh_verified(_docs_dedup(spark, sf_dir), threshold=0.8).orderBy(
         "id_a", "id_b"
     )
 
@@ -286,7 +309,7 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its cluster id + canonical flag. The DuckDB oracle derives the
     same components with a recursive CTE over the declarative
     jaccard-pair edges."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_dedup(spark, sf_dir)
     pairs = dedup.minhash_lsh_verified(docs, threshold=0.8)
     return dedup.dedup_clusters(docs, pairs).orderBy("doc_id")
 
@@ -321,7 +344,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exact oracle-checked. The production xxhash64 variant
     (`dedup.simhash_fingerprints`) shares the plan shape and is covered
     by pytest hamming tests."""
-    out = dedup.simhash_fingerprints_md5(_docs(spark, sf_dir))
+    out = dedup.simhash_fingerprints_md5(_docs_dedup(spark, sf_dir))
     return out.select(
         F.col("id").alias("doc_id"),
         *[F.col("bands")[b].alias(f"b{b}") for b in range(4)],
@@ -380,7 +403,7 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     any shared 16-bit band (never all-pairs), exact hamming verify via
     bit_count(xor) <= 8, all JVM-side. Oracle mirrors banding + verify
     declaratively over the same md5-nibble fingerprints."""
-    fps = dedup.simhash_fingerprints_md5(_docs(spark, sf_dir))
+    fps = dedup.simhash_fingerprints_md5(_docs_dedup(spark, sf_dir))
     pairs = dedup.simhash_pairs(fps, max_hamming=8)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
