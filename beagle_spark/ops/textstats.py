@@ -83,6 +83,158 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", Table A1) — the standard pre-training filters for
+    boilerplate and degenerate text:
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of
+      another line in the same document,
+    - ``top_2gram_char_frac``: fraction of document characters covered
+      by the most frequent word 2-gram (count * gram length / chars),
+    - ``dup_5gram_char_frac``: fraction of characters covered by word
+      5-grams occurring more than once (sum of count * length over
+      duplicated grams / chars; overlaps counted, like the simple
+      published formulation).
+
+    Ties for the top 2-gram break on (count desc, gram desc) in BOTH
+    engines so the result is deterministic and oracle-able.
+
+    Plan shape: line stats are per-row array expressions (no shuffle);
+    gram stats explode the materialized token array (the child
+    projection keeps the split out of the per-gram loop) and aggregate
+    on (doc, gram) with map-side partial agg, then on doc — two
+    bounded hash shuffles, nothing quadratic, nothing interpreted in a
+    hot loop. Scale-safe at 100 TB."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    line_stats = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_chars"),
+        n_lines.alias("n_lines"),
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / F.greatest(n_lines, F.lit(1)),
+            4,
+        ).alias("dup_line_frac"),
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+
+    def gram_counts(k: int):
+        n = F.size("_toks")
+        grams = toks.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k)),
+                )
+            ).alias("gram"),
+        )
+        return grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    w2 = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.desc("gram"))
+    top2 = (
+        gram_counts(2)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            (F.col("cnt") * F.length("gram")).alias("_top2_chars"),
+        )
+    )
+    dup5 = (
+        gram_counts(5)
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+            ).alias("_dup5_chars")
+        )
+    )
+    return (
+        line_stats.join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "dup_line_frac",
+            F.round(
+                F.coalesce(F.col("_top2_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_chars"), F.lit(1)),
+                4,
+            ).alias("top_2gram_char_frac"),
+            F.round(
+                F.coalesce(F.col("_dup5_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_chars"), F.lit(1)),
+                4,
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
+def quality_gopher(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule quality features + the pass/fail decision used to
+    drop documents from a pre-training corpus:
+
+    - ``mean_word_len``: non-whitespace chars / whitespace tokens
+      (Gopher keeps documents with mean word length in [3, 10]),
+    - ``symbol_word_ratio``: '#' and ellipsis occurrences per token
+      (Gopher drops ratio > 0.1),
+    - ``alpha_word_frac``: fraction of tokens containing at least one
+      ASCII letter (Gopher drops < 0.8),
+    - ``passes_gopher``: the conjunction, with the published
+      thresholds, of the three rules above plus a 50-token minimum.
+
+    Every feature is a closed-form SQL expression computable
+    bit-identically in DuckDB; the only higher-order function is a
+    single linear ``filter`` over the token array (same pattern as
+    :func:`lang_id` — per-token work, never per-token-pair)."""
+    toks = tokens_ws(F.col(text_col))
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    non_ws_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    mean_word_len = F.round(non_ws_chars.cast("double") / n_tokens, 3)
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.floor(
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+        )
+        / 3
+    ) + (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "…", ""))
+    )
+    symbol_word_ratio = F.round((n_hash + n_ellipsis).cast("double") / n_tokens, 3)
+    alpha_word_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_tokens,
+        3,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        (
+            (F.size(toks) >= 50)
+            & mean_word_len.between(3.0, 10.0)
+            & (symbol_word_ratio <= 0.1)
+            & (alpha_word_frac >= 0.8)
+        ).alias("passes_gopher"),
+    )
+
+
 def fingerprint_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase
     text. Identical function exists in DuckDB -> exact oracle."""

@@ -826,6 +826,91 @@ ORDER BY doc_id, fp
 """
 
 
+def ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line fraction, top
+    word-2-gram character coverage, duplicated word-5-gram character
+    coverage. Uses the repartitioned scan: the gram explode is the wide
+    stage."""
+    return textstats.repetition_stats(_docs_dedup(spark, sf_dir)).orderBy("doc_id")
+
+
+TS_REPETITION_SQL = r"""
+WITH line_stats AS (
+  SELECT doc_id, length(text) AS chars,
+         len(string_split(text, chr(10))) AS n_lines,
+         round((len(string_split(text, chr(10)))
+                - len(list_distinct(string_split(text, chr(10))))) * 1.0
+               / greatest(len(string_split(text, chr(10))), 1), 4) AS dup_line_frac
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+  FROM toks
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, cnt * length(gram) AS top2_chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+  FROM c2
+), g5 AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(w) - 4, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS gram
+  FROM toks
+), c5 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2
+), dup5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup5_chars
+  FROM c5 GROUP BY 1
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+       round(coalesce(t.top2_chars, 0) * 1.0 / greatest(l.chars, 1), 4)
+         AS top_2gram_char_frac,
+       round(coalesce(d.dup5_chars, 0) * 1.0 / greatest(l.chars, 1), 4)
+         AS dup_5gram_char_frac
+FROM line_stats l
+LEFT JOIN (SELECT doc_id, top2_chars FROM top2 WHERE rn = 1) t USING (doc_id)
+LEFT JOIN dup5 d USING (doc_id)
+ORDER BY l.doc_id
+"""
+
+
+def ts_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (mean word length, symbol-to-word ratio,
+    alpha-word fraction) + the pass/fail corpus-filter decision."""
+    return textstats.quality_gopher(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+TS_QUALITY_GOPHER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+               / greatest(len(w), 1), 3) AS mean_word_len,
+         round((length(text) - length(replace(text, '#', ''))
+                + floor((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3)
+                + (length(text) - length(replace(text, '…', '')))) * 1.0
+               / greatest(len(w), 1), 3) AS symbol_word_ratio,
+         round(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) * 1.0
+               / greatest(len(w), 1), 3) AS alpha_word_frac
+  FROM base
+)
+SELECT doc_id, n_tokens, mean_word_len, symbol_word_ratio, alpha_word_frac,
+       (n_tokens >= 50 AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8) AS passes_gopher
+FROM feats
+ORDER BY doc_id
+"""
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth binary payloads -> mapInPandas feature
     extraction (deterministic fake kernel; decode stubs documented)."""
@@ -894,6 +979,8 @@ REGISTRY: dict = {
     "ts_lang_id": (ts_lang_id, TS_LANG_SQL),
     "ts_fingerprint": (ts_fingerprint, TS_FP_SQL),
     "ts_winnow": (ts_winnow, TS_WINNOW_SQL),
+    "ts_repetition": (ts_repetition, TS_REPETITION_SQL),
+    "ts_quality_gopher": (ts_quality_gopher, TS_QUALITY_GOPHER_SQL),
     # multimodal plumbing
     "mm_features": (mm_features, MM_SQL),
 }

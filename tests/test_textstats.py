@@ -74,3 +74,59 @@ def test_winnow_bounded_time(spark):
     n = textstats.winnow_fingerprint_pairs(docs).count()
     assert time.time() - t0 < 60
     assert n > 500
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality filters
+# ---------------------------------------------------------------------------
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, one duplicated pair -> dup_line_frac 0.25... no:
+            # 2 of 4 lines are dups of each other -> (4 - 3) / 4 = 0.25
+            (1, "alpha beta\ngamma delta\nalpha beta\nepsilon zeta"),
+            # heavy 2-gram repetition: "spam ham" x4 (24 tokens? no: 8)
+            (2, "spam ham spam ham spam ham spam ham"),
+            # no repetition at all
+            (3, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+
+    assert rows[1].n_lines == 4
+    assert rows[1].dup_line_frac == pytest.approx(0.25)
+
+    # doc 2: chars=35; top 2-gram is "spam ham" (len 8) or "ham spam"
+    # (len 8), both count 4; tie-break (cnt desc, gram desc) picks
+    # "spam ham" -> 4*8/35
+    assert rows[2].n_lines == 1
+    assert rows[2].top_2gram_char_frac == pytest.approx(round(32 / 35, 4))
+    # duplicated 5-grams cover most of the doc
+    assert rows[2].dup_5gram_char_frac > 1.0  # overlaps counted
+
+    assert rows[3].dup_line_frac == 0.0
+    assert rows[3].dup_5gram_char_frac == 0.0
+
+
+def test_quality_gopher(spark):
+    long_good = " ".join(f"word{i}" for i in range(60))
+    symbol_heavy = "### " * 20 + "see more..." * 10
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),           # passes every rule
+            (2, "too short"),         # fails 50-token minimum
+            (3, symbol_heavy),        # fails symbol ratio
+            (4, "1 2 3 4 5 " * 12),   # fails alpha-word fraction
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in textstats.quality_gopher(docs).collect()}
+    assert rows[1].passes_gopher
+    assert rows[1].n_tokens == 60
+    assert rows[1].mean_word_len == pytest.approx(
+        round(sum(len(f"word{i}") for i in range(60)) / 60, 3)
+    )
+    assert not rows[2].passes_gopher
+    assert not rows[3].passes_gopher and rows[3].symbol_word_ratio > 0.1
+    assert not rows[4].passes_gopher and rows[4].alpha_word_frac == 0.0
