@@ -199,6 +199,16 @@ class _Parser:
 
     def parse_atom(self):
         kind, text, pslop = self.next()
+        if (
+            kind == "term"
+            and self.peek()[0] in ("range", "lparen", "phrase", "regex")
+            and re.fullmatch(r"(?:\\.|[^\\:])+:", text)
+        ):
+            # `field:` immediately before a range/group/phrase/regex binds
+            # the field to that clause; single-field engine drops the
+            # qualifier (same convention as field:term below) instead of
+            # emitting a spurious TermQ("field").
+            kind, text, pslop = self.next()
         if kind == "lparen":
             node = self.parse_or()
             if self.next()[0] != "rparen":

@@ -534,8 +534,10 @@ def simhash_fingerprints_md5(
     HashAggregate fell out of whole-stage codegen into interpreted
     eval; a stateless per-row kernel is both the faster and the
     100 TB-shaped plan. Tokenization mirrors the JVM expression chain
-    trim(lower(text)) split on ASCII whitespace, and md5 runs over the
-    UTF-8 bytes, so fingerprints are bit-identical to the old plan.)
+    split(trim(lower(text)), '\\s+') EXACTLY — trim strips spaces
+    only, split keeps leading/trailing empty tokens — matching the
+    DuckDB oracle's trim()/regexp_split_to_array semantics on docs
+    with \\t/\\n edges, and md5 runs over the UTF-8 bytes.)
 
     Returns (id, simhash: bigint, bands: array<bigint>) — same schema
     as :func:`simhash_fingerprints`, consumable by
@@ -566,7 +568,12 @@ def simhash_fingerprints_md5(
         out = np.zeros(len(texts), dtype=np.int64)
         weights = (np.int64(1) << np.arange(63)).astype(np.int64)
         for k, t in enumerate(texts):
-            t = ("" if t is None else t).lower().strip()
+            # trim SPACES ONLY and keep empty tokens from the split:
+            # Spark's trim() strips ' ' (not \t\n) and split(limit=-1)
+            # keeps leading/trailing '' elements, as does DuckDB's
+            # trim()/regexp_split_to_array — so 'foo bar\n' must
+            # tokenize to ['foo','bar',''], not ['foo','bar'].
+            t = ("" if t is None else t).lower().strip(" ")
             toks = _ws.split(t) if t else [""]
             sums = np.zeros(64, dtype=np.int64)
             for tok in toks:

@@ -49,6 +49,41 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     assert all(r["hamming"] <= 12 for r in joined)  # near-dups cluster tightly
 
 
+def test_simhash_md5_whitespace_edges_match_duckdb(spark):
+    """Docs with \\t/\\n edges: the Arrow UDF must tokenize exactly like
+    the JVM chain and the DuckDB oracle — trim strips SPACES only, the
+    split keeps leading/trailing empty tokens — so 'foo bar\\n' hashes
+    ['foo','bar',''] on both sides (advisor-found divergence that the
+    synthetic corpus masked)."""
+    import duckdb
+    import pandas as pd
+
+    from beagle_spark.queries import DD_SIMHASH_SQL
+
+    pdf = pd.DataFrame(
+        [
+            ("d1", "foo bar\n"),
+            ("d2", "\tfoo bar"),
+            ("d3", "foo bar"),
+            ("d4", "  foo\tbar  "),
+            ("d5", "\n"),
+            ("d6", "x\r\ny"),
+            ("d7", "   "),
+        ],
+        columns=["doc_id", "text"],
+    )
+    fps = dedup.simhash_fingerprints_md5(
+        spark.createDataFrame(pdf), text_col="text", id_col="doc_id"
+    )
+    got = {r["id"]: [int(b) for b in r["bands"]] for r in fps.collect()}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = {r[0]: list(r[1:]) for r in con.execute(DD_SIMHASH_SQL).fetchall()}
+    assert got == exp
+    # and the edge actually matters: trailing \n must change the hash
+    assert got["d1"] != got["d3"]
+
+
 def test_lsh_ann_equals_bruteforce_within_bucket(spark, emb):
     import numpy as np
 

@@ -116,6 +116,22 @@ def test_range_open_ended_and_field_prefix():
     assert not ann("apple bee")
     ann = lucene_annotator([{"text": "title:[a TO c]", "id": "q"}])
     assert ann("a banana")  # field prefix ignored (single-field engine)
+    # the prefix must bind to the range, not become its own OR'd term: a
+    # doc containing the literal token "title" but nothing in [a TO c]
+    # must NOT match (advisor-found false positive).
+    assert not ann("title of zzz")
+
+
+def test_field_prefix_binds_to_group_phrase_regex():
+    ann = lucene_annotator([{"text": "title:(foo bar)", "id": "q"}])
+    assert ann("some foo here")
+    assert not ann("title only here")
+    ann = lucene_annotator([{"text": 'title:"foo bar"', "id": "q"}])
+    assert ann("a foo bar b")
+    assert not ann("title foo only")
+    ann = lucene_annotator([{"text": "title:/fo+/", "id": "q"}])
+    assert ann("foo")
+    assert not ann("title")
 
 
 def test_range_combines_with_booleans():
