@@ -26,6 +26,14 @@ matching needs.
 
 from __future__ import annotations
 
+from .snowball_rt import (
+    BackwardWord,
+    make_regions_spanish,
+    repeat_b,
+    run_among_b,
+)
+from .snowball_tables import EU_ADJ, EU_NOUN, EU_VERB
+
 # ---------------------------------------------------------------------------
 # Turkish — Çilden's algorithm as published for Snowball
 # (snowballstem.org/algorithms/turkish/stemmer.html): multi-syllable
@@ -209,29 +217,36 @@ def armenian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Basque
+# Basque — the published Snowball program (basque.sbl): spanish-style
+# pV/p1/p2 regions, then backward-mode `repeat aditzak  repeat izenak
+# do adjetiboak` with a persistent cursor (stripping is strictly
+# nested: after a match, later matching continues on the remaining
+# left part only). Tables transcribed exactly (snowball_tables.py).
 # ---------------------------------------------------------------------------
-_EU_SUFFIXES = sorted(
-    [
-        "arekin", "ekin", "aren", "en", "ari", "ari", "ei", "ak", "ek",
-        "a", "ok", "etan", "an", "etako", "ko", "etatik", "tik", "etara",
-        "ra", "rako", "az", "ez", "tzat", "gatik", "kin", "gan", "gana",
-        "raino", "rantz", "tako",
-    ],
-    key=len,
-    reverse=True,
-)
+_EU_VOWELS = frozenset("aeiou")
+_eu_regions = make_regions_spanish(_EU_VOWELS)
+
+# action branches per result code: (region gate, replacement)
+_EU_VERB_ACT = {
+    1: ("RV", ""), 2: ("R2", ""), 3: (None, "atseden"),
+    4: (None, "arabera"), 5: (None, "baditu"),
+}
+_EU_NOUN_ACT = {
+    1: ("RV", ""), 2: ("R2", ""), 3: (None, "jok"), 4: ("R1", ""),
+    5: (None, "tra"), 6: (None, "minutu"), 7: (None, "zehar"),
+    8: (None, "geldi"), 9: (None, "igaro"), 10: ("RV", "aur"),
+}
+_EU_ADJ_ACT = {1: ("RV", ""), 2: (None, "z")}
 
 
 def basque_stem(word: str) -> str:
     w = word.lower()
-    if len(w) <= 3:
-        return w
-    for suf in _EU_SUFFIXES:
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            w = w[: -len(suf)]
-            break
-    return w
+    pV, p1, p2 = _eu_regions(w)
+    bw = BackwardWord(w, pV, p1, p2)
+    repeat_b(bw, EU_VERB, _EU_VERB_ACT)
+    repeat_b(bw, EU_NOUN, _EU_NOUN_ACT)
+    run_among_b(bw, EU_ADJ, _EU_ADJ_ACT)
+    return bw.s
 
 
 # ---------------------------------------------------------------------------

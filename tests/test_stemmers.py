@@ -81,7 +81,7 @@ FAMILIES = {
     "turkish": ["ev evler evlerin evlerden"],
     "arabic": ["كتاب الكتاب والكتاب"],
     "armenian": ["գիրք գիրքը գիրքի"],
-    "basque": ["etxe etxea etxeak"],
+    "basque": ["etxe etxeak etxeen"],
     "irish": ["fuinneog bhfuinneog"],
     "english": ["dog dogs", "running runs run"],
     "porter": ["connect connected connecting connection"],

@@ -210,6 +210,20 @@ def suffix_pool(lang: str) -> list[str]:
             if isinstance(item, tuple):
                 item = item[0]
             pool.add(item)
+    # exact among tables, once transcribed (compile_among matchers)
+    try:
+        import beagle_spark.analysis.snowball_tables as st
+
+        prefix = {"basque": "EU_", "catalan": "CA_", "romanian": "RO_",
+                  "irish": "GA_", "armenian": "HY_", "arabic": "AR_",
+                  "turkish": "TR_"}[lang]
+        for name in dir(st):
+            if name.startswith(prefix):
+                _lens, by_len = getattr(st, name)
+                for d in by_len.values():
+                    pool.update(d)
+    except Exception:
+        pass
     vowels = VOWELS[lang]
     extra: set[str] = set()
     for s in pool:
