@@ -32,7 +32,15 @@ from .snowball_rt import (
     repeat_b,
     run_among_b,
 )
-from .snowball_tables import EU_ADJ, EU_NOUN, EU_VERB
+from .snowball_tables import (
+    EU_ADJ,
+    EU_NOUN,
+    EU_VERB,
+    GA_DERIV,
+    GA_INIT,
+    GA_NOUN,
+    GA_VERB,
+)
 
 # ---------------------------------------------------------------------------
 # Turkish — Çilden's algorithm as published for Snowball
@@ -250,40 +258,71 @@ def basque_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Irish
+# Irish — the published Snowball program (irish.sbl): forward-mode
+# initial_morph rewrites eclipsis/lenition/prevocalic prefixes, then
+# backward-mode noun_sfx / deriv / verb_sfx once each over exact
+# tables (snowball_tables.py). pV = after first vowel; p1/p2 standard.
 # ---------------------------------------------------------------------------
-_GA_SUFFIXES = sorted(
-    [
-        "eachta", "achta", "eacht", "acht", "eoireacht", "óireacht",
-        "eoirí", "óirí", "eoir", "óir", "iúil", "úil", "iúla", "úla",
-        "eamh", "amh", "aíocht", "íocht", "aí", "í", "anna", "acha",
-        "acht", "tha", "the", "te", "ta",
-    ],
-    key=len,
-    reverse=True,
-)
+_GA_VOWELS = frozenset("aeiouáéíóú")
+
+# initial_morph replacements per result code (prefix -> replacement)
+_GA_INIT_ACT = {
+    1: "", 2: "f", 3: "s", 4: "b", 5: "c",
+    6: "d", 7: "g", 8: "p", 9: "t", 10: "m",
+}
+_GA_NOUN_ACT = {
+    1: ("R2", ""), 2: (None, "arc"), 3: (None, "gin"),
+    4: (None, "graf"), 5: (None, "paite"), 6: (None, "óid"),
+}
+_GA_DERIV_ACT = {1: ("R1", ""), 2: ("R2", "")}
+_GA_VERB_ACT = {1: ("RV", ""), 2: ("R1", "")}
+
+
+def _ga_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+
+    def is_v(i):
+        return w[i] in _GA_VOWELS
+
+    pV = n
+    for i in range(n):
+        if is_v(i):
+            pV = i + 1
+            break
+
+    def after_vc(start):
+        for i in range(start + 1, n):
+            if not is_v(i) and is_v(i - 1):
+                return i + 1
+        return n
+
+    p1 = after_vc(0)
+    p2 = after_vc(p1 - 1) if p1 < n else n
+    return pV, p1, p2
+
+
+def _ga_longest_prefix(w: str):
+    lens, by_len = GA_INIT
+    for ln in lens:
+        if ln <= len(w):
+            res = by_len[ln].get(w[:ln])
+            if res is not None:
+                return w[:ln], res
+    return None
 
 
 def irish_stem(word: str) -> str:
     w = word.lower()
-    if len(w) <= 3:
-        return w
-    # initial mutations: prefixed t-, n-, h- and eclipsis clusters
-    for pre in ("t-", "n-", "h-"):
-        if w.startswith(pre):
-            w = w[2:]
-            break
-    else:
-        for ecl, plain in (("bhf", "f"), ("mb", "b"), ("gc", "c"), ("nd", "d"),
-                           ("ng", "g"), ("bp", "p"), ("dt", "t"), ("ts", "s")):
-            if w.startswith(ecl):
-                w = plain + w[len(ecl):]
-                break
-    for suf in _GA_SUFFIXES:
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            w = w[: -len(suf)]
-            break
-    return w
+    m = _ga_longest_prefix(w)
+    if m is not None:
+        pre, res = m
+        w = _GA_INIT_ACT[res] + w[len(pre):]
+    pV, p1, p2 = _ga_regions(w)
+    bw = BackwardWord(w, pV, p1, p2)
+    run_among_b(bw, GA_NOUN, _GA_NOUN_ACT)
+    run_among_b(bw, GA_DERIV, _GA_DERIV_ACT)
+    run_among_b(bw, GA_VERB, _GA_VERB_ACT)
+    return bw.s
 
 
 # ---------------------------------------------------------------------------

@@ -109,3 +109,36 @@ EU_VERB = compile_among([
     ('errez', 1), ('tzez', 1), ('gaitz', 1), ('kaitz', 1),
 ])
 
+# ------------------------------------------------------------------
+# Irish (irish.sbl): verb_sfx / noun_sfx / deriv / initial_morph
+# ------------------------------------------------------------------
+GA_VERB = compile_among([
+    ('imid', 1), ('aimid', 1), ('ímid', 1), ('aímid', 1), ('adh', 2),
+    ('eadh', 2), ('faidh', 1), ('fidh', 1), ('áil', 2), ('ain', 2),
+    ('tear', 2), ('tar', 2),
+])
+
+GA_NOUN = compile_among([
+    ('óideacha', 6), ('patacha', 5), ('achta', 1), ('arcachta', 2),
+    ('eachta', 1), ('grafaíochta', 4), ('paite', 5), ('ach', 1),
+    ('each', 1), ('óideach', 6), ('gineach', 3), ('patach', 5),
+    ('grafaíoch', 4), ('pataigh', 5), ('óidigh', 6), ('achtúil', 1),
+    ('eachtúil', 1), ('gineas', 3), ('ginis', 3), ('acht', 1),
+    ('arcacht', 2), ('eacht', 1), ('grafaíocht', 4), ('arcachtaí', 2),
+    ('grafaíochtaí', 4),
+])
+
+GA_DERIV = compile_among([
+    ('íochta', 1), ('aíochta', 1), ('ire', 2), ('aire', 2), ('abh', 1),
+    ('eabh', 1), ('ibh', 1), ('aibh', 1), ('amh', 1), ('eamh', 1),
+    ('imh', 1), ('aimh', 1), ('íocht', 1), ('aíocht', 1), ('irí', 2),
+    ('airí', 2),
+])
+
+GA_INIT = compile_among([
+    ("b'", 1), ('bh', 4), ('bhf', 2), ('bp', 8), ('ch', 5), ("d'", 1),
+    ("d'fh", 2), ('dh', 6), ('dt', 9), ('fh', 2), ('gc', 5), ('gh', 7),
+    ('h-', 1), ("m'", 1), ('mb', 4), ('mh', 10), ('n-', 1), ('nd', 6),
+    ('ng', 7), ('ph', 8), ('sh', 3), ('t-', 1), ('th', 9), ('ts', 3),
+])
+
