@@ -37,6 +37,10 @@ from .snowball_tables import (
     EU_NOUN,
     EU_VERB,
     GA_DERIV,
+    HY_ADJ,
+    HY_ENDING,
+    HY_NOUN,
+    HY_VERB,
     GA_INIT,
     GA_NOUN,
     GA_VERB,
@@ -199,29 +203,53 @@ def arabic_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Armenian
+# Armenian — the published Snowball program (armenian.sbl):
+# pV = after first vowel, p2 standard; backward-mode `do ending  do
+# verb  do adjective  do noun`, all branches RV-gated deletes over the
+# exact tables (snowball_tables.py).
 # ---------------------------------------------------------------------------
-_HY_SUFFIXES = sorted(
-    [
-        "ներում", "ներին", "ների", "ներն", "ները", "ներ", "երում",
-        "երին", "երի", "երն", "երը", "եր", "ում", "ամբ", "ով", "ից",
-        "ին", "ի", "ն", "ը", "ս", "դ", "անց", "ա", "ալ", "ել", "ած",
-        "ում", "եմ", "ես", "ենք", "եք", "են",
-    ],
-    key=len,
-    reverse=True,
-)
+_HY_VOWELS = frozenset("աեէըիոօւ")
+_HY_R2_ACT = {1: ("R2", "")}
+_HY_DEL_ACT = {1: (None, "")}
+
+
+def _hy_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def is_v(i):
+        return w[i] in _HY_VOWELS
+
+    pV = p2 = n
+    i = 0
+    while i < n and not is_v(i):
+        i += 1
+    if i < n:
+        pV = i + 1
+        i += 1
+        while i < n and is_v(i):
+            i += 1
+        if i < n:  # gopast non-v
+            i += 1
+            while i < n and not is_v(i):
+                i += 1
+            if i < n:  # gopast v
+                i += 1
+                while i < n and is_v(i):
+                    i += 1
+                if i < n:  # gopast non-v
+                    p2 = i + 1
+    return pV, p2
 
 
 def armenian_stem(word: str) -> str:
     w = word.lower()
-    if len(w) <= 3:
-        return w
-    for suf in _HY_SUFFIXES:
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            w = w[: -len(suf)]
-            break
-    return w
+    pV, p2 = _hy_regions(w)
+    bw = BackwardWord(w, pV, 0, p2)
+    run_among_b(bw, HY_ENDING, _HY_R2_ACT, setlimit="RV")
+    run_among_b(bw, HY_VERB, _HY_DEL_ACT, setlimit="RV")
+    run_among_b(bw, HY_ADJ, _HY_DEL_ACT, setlimit="RV")
+    run_among_b(bw, HY_NOUN, _HY_DEL_ACT, setlimit="RV")
+    return bw.s
 
 
 # ---------------------------------------------------------------------------

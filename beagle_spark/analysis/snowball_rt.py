@@ -105,14 +105,16 @@ def compile_among(entries):
     return lens, by_len
 
 
-def find_b(word: BackwardWord, among) -> tuple[str, int] | None:
-    """Longest suffix of s[:cursor] present in `among`;
-    returns (suffix, result) without consuming."""
+def find_b(word: BackwardWord, among, limit: int = 0) -> tuple[str, int] | None:
+    """Longest suffix of s[:cursor] present in `among`; returns
+    (suffix, result) without consuming. `limit` implements Snowball's
+    `setlimit tomark X for [substring]`: entries reaching left of
+    `limit` can't match, so shorter in-limit entries win instead."""
     lens, by_len = among
     text = word.s
     c = word.cursor
     for ln in lens:
-        if ln > c:
+        if ln > c - limit:
             continue
         suf = text[c - ln:c]
         res = by_len[ln].get(suf)
@@ -129,11 +131,16 @@ def apply_b(word: BackwardWord, suffix: str, replacement: str) -> None:
     word.cursor = start
 
 
-def run_among_b(word: BackwardWord, among, actions) -> bool:
+def run_among_b(word: BackwardWord, among, actions, setlimit: str | None = None) -> bool:
     """One `[substring] among(...)` step: longest match, gate check,
     delete/replace. Gate failure fails the whole step (no shorter-entry
-    retry), matching generated-code semantics for branch conditions."""
-    m = find_b(word, among)
+    retry), matching generated-code semantics for branch conditions.
+    `setlimit` instead restricts matching to the named region up front
+    (shorter entries win over region-crossing longer ones)."""
+    limit = 0
+    if setlimit is not None:
+        limit = {"RV": word.pV, "R1": word.p1, "R2": word.p2}[setlimit]
+    m = find_b(word, among, limit)
     if m is None:
         return False
     suf, res = m
@@ -144,6 +151,6 @@ def run_among_b(word: BackwardWord, among, actions) -> bool:
     return True
 
 
-def repeat_b(word: BackwardWord, among, actions) -> None:
-    while run_among_b(word, among, actions):
+def repeat_b(word: BackwardWord, among, actions, setlimit: str | None = None) -> None:
+    while run_among_b(word, among, actions, setlimit):
         pass

@@ -142,3 +142,57 @@ GA_INIT = compile_among([
     ('ng', 7), ('ph', 8), ('sh', 3), ('t-', 1), ('th', 9), ('ts', 3),
 ])
 
+# ------------------------------------------------------------------
+# Armenian (armenian.sbl): ending / noun / verb / adjective
+# ------------------------------------------------------------------
+HY_ENDING = compile_among([
+    ('եր', 1), ('ներ', 1), ('ց', 1), ('ուց', 1), ('ից', 1), ('երից', 1),
+    ('ներից', 1), ('ցից', 1), ('վանից', 1), ('ոջից', 1), ('վից', 1),
+    ('ոց', 1), ('սա', 1), ('վա', 1), ('ամբ', 1), ('դ', 1), ('երդ', 1),
+    ('ներդ', 1), ('ուդ', 1), ('անդ', 1), ('ությանդ', 1), ('վանդ', 1),
+    ('ոջդ', 1), ('ը', 1), ('երը', 1), ('ները', 1), ('անը', 1),
+    ('ությանը', 1), ('վանը', 1), ('ոջը', 1), ('ի', 1), ('երի', 1),
+    ('ների', 1), ('վի', 1), ('երում', 1), ('ներում', 1), ('անում', 1),
+    ('ն', 1), ('երն', 1), ('ներն', 1), ('ուն', 1), ('ան', 1),
+    ('ության', 1), ('վան', 1), ('ին', 1), ('երին', 1), ('ներին', 1),
+    ('ությանն', 1), ('ոջ', 1), ('ությանս', 1), ('վանս', 1), ('ոջս', 1),
+    ('ով', 1), ('երով', 1), ('ներով', 1), ('անով', 1), ('վով', 1),
+])
+
+HY_NOUN = compile_among([
+    ('գար', 1), ('վոր', 1), ('ավոր', 1), ('անօց', 1), ('ոց', 1), ('ու', 1),
+    ('ք', 1), ('արք', 1), ('չեք', 1), ('իք', 1), ('ալիք', 1), ('անիք', 1),
+    ('վածք', 1), ('ույք', 1), ('ունք', 1), ('մունք', 1), ('ենք', 1),
+    ('ոնք', 1), ('իչք', 1), ('որդ', 1), ('ույթ', 1), ('ցի', 1),
+    ('ուհի', 1), ('իլ', 1), ('ուկ', 1), ('ակ', 1), ('յակ', 1), ('անակ', 1),
+    ('իկ', 1), ('յուն', 1), ('ություն', 1), ('ան', 1), ('արան', 1),
+    ('պան', 1), ('ստան', 1), ('եղէն', 1), ('ածո', 1), ('իչ', 1),
+    ('ուս', 1), ('ուստ', 1),
+])
+
+HY_VERB = compile_among([
+    ('ար', 1), ('ացար', 1), ('եցար', 1), ('ացրիր', 1), ('ացիր', 1),
+    ('եցիր', 1), ('վեցիր', 1), ('ալուց', 1), ('ելուց', 1), ('աց', 1),
+    ('եց', 1), ('ացրեց', 1), ('ալու', 1), ('ելու', 1), ('աք', 1),
+    ('ցաք', 1), ('ացաք', 1), ('ացրիք', 1), ('ացիք', 1), ('եցիք', 1),
+    ('վեցիք', 1), ('անք', 1), ('ցանք', 1), ('ացանք', 1), ('ացրինք', 1),
+    ('ացինք', 1), ('եցինք', 1), ('վեցինք', 1), ('ա', 1), ('ացա', 1),
+    ('եցա', 1), ('վե', 1), ('ացրի', 1), ('ացի', 1), ('եցի', 1),
+    ('վեցի', 1), ('ալ', 1), ('ըալ', 1), ('ացնալ', 1), ('անալ', 1),
+    ('ենալ', 1), ('ել', 1), ('ըել', 1), ('նել', 1), ('ցնել', 1),
+    ('եցնել', 1), ('չել', 1), ('վել', 1), ('ացվել', 1), ('եցվել', 1),
+    ('տել', 1), ('ատել', 1), ('ոտել', 1), ('կոտել', 1), ('ված', 1),
+    ('ում', 1), ('վում', 1), ('ան', 1), ('ցան', 1), ('ացան', 1),
+    ('ացրին', 1), ('ացին', 1), ('եցին', 1), ('վեցին', 1), ('ալիս', 1),
+    ('ելիս', 1), ('ավ', 1), ('ացավ', 1), ('եցավ', 1), ('ալով', 1),
+    ('ելով', 1),
+])
+
+HY_ADJ = compile_among([
+    ('բար', 1), ('րորդ', 1), ('երորդ', 1), ('ալի', 1), ('ակի', 1),
+    ('որակ', 1), ('եղ', 1), ('վուն', 1), ('արան', 1), ('ական', 1),
+    ('են', 1), ('երեն', 1), ('եկեն', 1), ('որէն', 1), ('ին', 1),
+    ('գին', 1), ('ովին', 1), ('լայն', 1), ('պես', 1), ('իվ', 1), ('ատ', 1),
+    ('ավետ', 1), ('կոտ', 1),
+])
+
