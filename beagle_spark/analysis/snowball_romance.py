@@ -446,92 +446,105 @@ def catalan_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Romanian (Snowball program structure; tables reconstructed)
+# Romanian — the published Snowball program (romanian.sbl, cedilla-era
+# tables as generated into Snowball 2.x / Lucene 8.x): prelude marks
+# i/u between vowels as consonants, spanish-style pV/p1/p2, then
+# step_0 (R1) -> standard_suffix (repeat combo R1, then R2) ->
+# verb_suffix (RV-limited, consonant/u guard) if no standard suffix
+# was removed -> vowel_suffix (RV). Tables in snowball_tables.py.
 # ---------------------------------------------------------------------------
+from .snowball_rt import BackwardWord, apply_b, find_b
+from .snowball_tables import RO_COMBO, RO_STD, RO_STEP0, RO_VERB, RO_VOWEL
+
 _RO_VOWELS = frozenset("aeiouâîă")
 _ro_regions = _make_regions(_RO_VOWELS)
 
-_RO_STEP0 = [
-    ("ului", ""), ("ul", ""), ("aua", "a"), ("elor", "e"), ("ele", "e"),
-    ("ea", "e"), ("iua", "i"), ("ilor", "i"), ("iei", "i"), ("iile", "i"),
-    ("ii", "i"), ("atei", "at"), ("ație", "ați"), ("ația", "ați"),
-]
-_RO_COMBO = [
-    ("abilitate", "abil"), ("abilitati", "abil"), ("abilități", "abil"),
-    ("ibilitate", "ibil"), ("icitate", "ic"), ("icitati", "ic"),
-    ("icități", "ic"), ("icator", "ic"), ("icatori", "ic"),
-    ("ativitate", "ativ"), ("itate", "it"), ("itati", "it"),
-    ("ități", "it"), ("ificat", "ific"), ("ificata", "ific"),
-]
-_RO_STEP2 = sorted(
-    [
-        "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti",
-        "ute", "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice",
-        "ici", "abil", "abila", "abile", "abili", "ibil",
-        "ibila", "ibile", "ibili", "oasa", "oasă", "oase", "os", "osi",
-        "oși", "ant", "anta", "ante", "anti", "anță", "ator", "atori",
-        "itiv", "itiva", "itive", "itivi", "iv", "iva", "ive", "ivi",
-        "ism", "isme", "ist", "ista", "iste", "isti", "iști", "ișt",
-        "mente", "ment", "mentul",
-    ],
-    key=len,
-    reverse=True,
-)
-_RO_VERB = sorted(
-    [
-        "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
-        "ească", "ez", "ezi", "ează", "esc", "ești", "ește", "ăsc",
-        "ăști", "ăște", "am", "ai", "au", "eam", "eai", "eau", "iam",
-        "iai", "iau", "ași", "arăm", "arăți", "ară", "use", "userăm",
-        "userăți", "useră", "ise", "iserăm", "iserăți", "iseră", "ase",
-        "aserăm", "aserăți", "aseră", "at", "ați", "ut", "uți", "it",
-        "iți", "ât", "âți", "uși", "iși", "âși", "urăm", "ură", "irăm",
-        "iră", "a", "e", "i", "ă", "u",
-    ],
-    key=len,
-    reverse=True,
-)
+_RO_COMBO_REPL = {1: "abil", 2: "ibil", 3: "iv", 4: "ic", 5: "at", 6: "it"}
+_RO_STEP0_REPL = {1: "", 2: "a", 3: "e", 4: "i", 5: "i", 6: "at", 7: "aţi"}
+
+
+def _ro_find(w: str, among, limit: int = 0):
+    """Longest suffix of w in `among` not reaching left of `limit`."""
+    lens, by_len = among
+    n = len(w)
+    for ln in lens:
+        if ln > n - limit:
+            continue
+        res = by_len[ln].get(w[n - ln:])
+        if res is not None:
+            return w[n - ln:], res
+    return None
 
 
 def romanian_stem(word: str) -> str:
-    w = word.lower().replace("ş", "ș").replace("ţ", "ț")
-    if len(w) <= 2:
-        return w
-    rv, r1, r2 = _ro_regions(w)
+    w = word.lower()
+    # prelude: i/u between vowels are consonantal (marked uppercase,
+    # so they fall outside the vowel grouping)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_VOWELS and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
 
-    # Step 0: plural/article removal (in R1)
-    for suf, rep in _RO_STEP0:
-        if w.endswith(suf) and len(w) - len(suf) >= r1:
-            w = w[: -len(suf)] + rep
+    pV, p1, p2 = _ro_regions(w)
+
+    # step_0: plural/article removal in R1
+    m = _ro_find(w, RO_STEP0)
+    if m is not None:
+        suf, res = m
+        start = len(w) - len(suf)
+        if start >= p1 and not (res == 5 and w.endswith("ab" + suf)):
+            w = w[:start] + _RO_STEP0_REPL[res]
+
+    # standard_suffix: repeat combo (R1; `test` semantics - matching
+    # restarts from the full new end each iteration), then main (R2)
+    std_removed = False
+    while True:
+        m = _ro_find(w, RO_COMBO)
+        if m is None:
             break
-
-    # Step 1: combining suffixes, repeat while matched (in R1)
-    changed = True
-    while changed:
-        changed = False
-        for suf, rep in _RO_COMBO:
-            if w.endswith(suf) and len(w) - len(suf) >= r1:
-                w = w[: -len(suf)] + rep
-                changed = True
-                break
-
-    before = w
-    # Step 2: standard suffixes in R2
-    for suf in _RO_STEP2:
-        if w.endswith(suf) and len(w) - len(suf) >= r2:
-            w = w[: -len(suf)]
+        suf, res = m
+        start = len(w) - len(suf)
+        if start < p1:
             break
+        w = w[:start] + _RO_COMBO_REPL[res]
+        std_removed = True
+    m = _ro_find(w, RO_STD)
+    if m is not None:
+        suf, res = m
+        start = len(w) - len(suf)
+        if start >= p2:
+            if res == 1:
+                w = w[:start]
+                std_removed = True
+            elif res == 2:  # 'iune'/'iuni' after ţ -> 't'
+                if w[:start].endswith("ţ"):
+                    w = w[:start - 1] + "t"
+                    std_removed = True
+            else:  # 3: unify -ism/-ist family to 'ist'
+                w = w[:start] + "ist"
+                std_removed = True
 
-    # Step 3: verb suffixes in RV (only if step 2 removed nothing)
-    if w == before:
-        for suf in _RO_VERB:
-            if w.endswith(suf) and len(w) - len(suf) >= rv:
-                w = w[: -len(suf)]
-                break
+    # verb_suffix: only when no standard suffix was removed; matching
+    # limited to RV; branch 1 requires a consonant or 'u' before
+    if not std_removed:
+        m = _ro_find(w, RO_VERB, pV)
+        if m is not None:
+            suf, res = m
+            start = len(w) - len(suf)
+            if res == 2:
+                w = w[:start]
+            # branch 1 guard: preceding char is a consonant or 'u';
+            # the RV setlimit applies to the guard's movement too, so
+            # the guard char itself must sit inside RV
+            elif start - 1 >= pV and (w[start - 1] not in _RO_VOWELS or w[start - 1] == "u"):
+                w = w[:start]
 
-    # Step 4: residual vowel in RV
-    for suf in ("a", "e", "i", "ă", "ie"):
-        if w.endswith(suf) and len(w) - len(suf) >= rv:
-            w = w[: -len(suf)]
-            break
-    return w
+    # vowel_suffix: residual vowel in RV
+    m = _ro_find(w, RO_VOWEL)
+    if m is not None:
+        suf, _res = m
+        if len(w) - len(suf) >= pV:
+            w = w[: len(w) - len(suf)]
+
+    return w.lower()

@@ -196,3 +196,71 @@ HY_ADJ = compile_among([
     ('ավետ', 1), ('կոտ', 1),
 ])
 
+# ------------------------------------------------------------------
+# Romanian (romanian.sbl, cedilla-era tables as in Snowball 2.x /
+# Lucene 8.x): vowel_suffix / verb_suffix / standard_suffix /
+# combo_suffix / step_0
+# ------------------------------------------------------------------
+RO_VOWEL = compile_among([
+    ('a', 1), ('e', 1), ('ie', 1), ('i', 1), ('ă', 1),
+])
+
+RO_VERB = compile_among([
+    ('ea', 1), ('ia', 1), ('esc', 1), ('ăsc', 1), ('ind', 1), ('ând', 1),
+    ('are', 1), ('ere', 1), ('ire', 1), ('âre', 1), ('se', 2), ('ase', 1),
+    ('sese', 2), ('ise', 1), ('use', 1), ('âse', 1), ('eşte', 1),
+    ('ăşte', 1), ('eze', 1), ('ai', 1), ('eai', 1), ('iai', 1), ('sei', 2),
+    ('eşti', 1), ('ăşti', 1), ('ui', 1), ('ezi', 1), ('aşi', 1),
+    ('seşi', 2), ('aseşi', 1), ('seseşi', 2), ('iseşi', 1), ('useşi', 1),
+    ('âseşi', 1), ('işi', 1), ('uşi', 1), ('âşi', 1), ('âi', 1),
+    ('aţi', 2), ('eaţi', 1), ('iaţi', 1), ('eţi', 2), ('iţi', 2),
+    ('arăţi', 1), ('serăţi', 2), ('aserăţi', 1), ('seserăţi', 2),
+    ('iserăţi', 1), ('userăţi', 1), ('âserăţi', 1), ('irăţi', 1),
+    ('urăţi', 1), ('ârăţi', 1), ('âţi', 2), ('am', 1), ('eam', 1),
+    ('iam', 1), ('em', 2), ('asem', 1), ('sesem', 2), ('isem', 1),
+    ('usem', 1), ('âsem', 1), ('im', 2), ('ăm', 2), ('arăm', 1),
+    ('serăm', 2), ('aserăm', 1), ('seserăm', 2), ('iserăm', 1),
+    ('userăm', 1), ('âserăm', 1), ('irăm', 1), ('urăm', 1), ('ârăm', 1),
+    ('âm', 2), ('au', 1), ('eau', 1), ('iau', 1), ('indu', 1), ('ându', 1),
+    ('ez', 1), ('ească', 1), ('ară', 1), ('seră', 2), ('aseră', 1),
+    ('seseră', 2), ('iseră', 1), ('useră', 1), ('âseră', 1), ('iră', 1),
+    ('ură', 1), ('âră', 1), ('ează', 1),
+])
+
+RO_STD = compile_among([
+    ('ica', 1), ('abila', 1), ('ibila', 1), ('oasa', 1), ('ata', 1),
+    ('ita', 1), ('anta', 1), ('ista', 3), ('uta', 1), ('iva', 1),
+    ('ic', 1), ('ice', 1), ('abile', 1), ('ibile', 1), ('isme', 3),
+    ('iune', 2), ('oase', 1), ('ate', 1), ('itate', 1), ('ite', 1),
+    ('ante', 1), ('iste', 3), ('ute', 1), ('ive', 1), ('ici', 1),
+    ('abili', 1), ('ibili', 1), ('iuni', 2), ('atori', 1), ('osi', 1),
+    ('ati', 1), ('itati', 1), ('iti', 1), ('anti', 1), ('isti', 3),
+    ('uti', 1), ('işti', 3), ('ivi', 1), ('ităi', 1), ('oşi', 1),
+    ('ităţi', 1), ('abil', 1), ('ibil', 1), ('ism', 3), ('ator', 1),
+    ('os', 1), ('at', 1), ('it', 1), ('ant', 1), ('ist', 3), ('ut', 1),
+    ('iv', 1), ('ică', 1), ('abilă', 1), ('ibilă', 1), ('oasă', 1),
+    ('ată', 1), ('ită', 1), ('antă', 1), ('istă', 3), ('ută', 1),
+    ('ivă', 1),
+])
+
+RO_COMBO = compile_among([
+    ('icala', 4), ('iciva', 4), ('ativa', 5), ('itiva', 6), ('icale', 4),
+    ('aţiune', 5), ('iţiune', 6), ('atoare', 5), ('itoare', 6),
+    ('ătoare', 5), ('icitate', 4), ('abilitate', 1), ('ibilitate', 2),
+    ('ivitate', 3), ('icive', 4), ('ative', 5), ('itive', 6), ('icali', 4),
+    ('atori', 5), ('icatori', 4), ('itori', 6), ('ători', 5),
+    ('icitati', 4), ('abilitati', 1), ('ivitati', 3), ('icivi', 4),
+    ('ativi', 5), ('itivi', 6), ('icităi', 4), ('abilităi', 1),
+    ('ivităi', 3), ('icităţi', 4), ('abilităţi', 1), ('ivităţi', 3),
+    ('ical', 4), ('ator', 5), ('icator', 4), ('itor', 6), ('ător', 5),
+    ('iciv', 4), ('ativ', 5), ('itiv', 6), ('icală', 4), ('icivă', 4),
+    ('ativă', 5), ('itivă', 6),
+])
+
+RO_STEP0 = compile_among([
+    ('ea', 3), ('aţia', 7), ('aua', 2), ('iua', 4), ('aţie', 7),
+    ('ele', 3), ('ile', 5), ('iile', 4), ('iei', 4), ('atei', 6),
+    ('ii', 4), ('ului', 1), ('ul', 1), ('elor', 3), ('ilor', 4),
+    ('iilor', 4),
+])
+

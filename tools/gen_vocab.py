@@ -193,8 +193,7 @@ def suffix_pool(lang: str) -> list[str]:
     mods = {
         "catalan": ("beagle_spark.analysis.snowball_romance",
                     ["_CA_PRONOUNS", "_CA_STEP1", "_CA_STEP2_VERB"]),
-        "romanian": ("beagle_spark.analysis.snowball_romance",
-                     ["_RO_STEP0", "_RO_COMBO", "_RO_STEP2", "_RO_VERB"]),
+        "romanian": ("beagle_spark.analysis.snowball_romance", []),
         "basque": ("beagle_spark.analysis.snowball_misc", ["_EU_SUFFIXES"]),
         "irish": ("beagle_spark.analysis.snowball_misc", ["_GA_SUFFIXES"]),
         "armenian": ("beagle_spark.analysis.snowball_misc", ["_HY_SUFFIXES"]),
