@@ -358,91 +358,97 @@ def portuguese_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Catalan (Snowball program structure; tables reconstructed)
+# Catalan — the published Snowball program (catalan.sbl): R1/R2 only
+# (no RV); backward-mode attached_pronoun, then standard_suffix or
+# verb_suffix, then residual_suffix; forward cleaning pass strips
+# accents and the ela geminada dot. Tables in snowball_tables.py.
 # ---------------------------------------------------------------------------
-_CA_VOWELS = frozenset("aeiouàèéíïòóúü")
-_ca_regions = _make_regions(_CA_VOWELS)
+from .snowball_tables import CA_PRON, CA_RESID, CA_STD, CA_VERB
 
-_CA_PRONOUNS = sorted(
-    [
-        "'ls", "'l", "'ns", "'n", "'m", "'s", "-ho", "-hi", "-la", "-les",
-        "-li", "-lo", "-los", "-me", "-nos", "-se", "-te", "-vos", "ho",
-        "hi", "los", "nos", "vos",
-    ],
-    key=len,
-    reverse=True,
+_CA_VOWELS = frozenset("aeiou\u00e0\u00e1\u00e8\u00e9\u00ed\u00f2\u00f3\u00f9\u00fa\u00ef\u00fc")
+
+_CA_CLEAN = str.maketrans(
+    {"\u00e0": "a", "\u00e1": "a", "\u00e8": "e", "\u00e9": "e",
+     "\u00ec": "i", "\u00ed": "i", "\u00ef": "i", "\u00f2": "o",
+     "\u00f3": "o", "\u00f9": "u", "\u00fa": "u", "\u00fc": "u",
+     "\u00b7": None}
 )
-_CA_STEP1 = sorted(
-    [
-        "atge", "atges", "ment", "ments", "able", "ables", "ible", "ibles",
-        "isme", "ismes", "ista", "istes", "ió", "ions", "cions", "ció",
-        "acions", "ació", "ador", "adora", "adors", "adores", "ància",
-        "àncies", "ència", "ències", "ícia", "ícies", "itat", "itats",
-        "itud", "ituds", "esa", "eses", "eria", "eries", "ós", "osa",
-        "osos", "oses", "iu", "ius", "iva", "ives",
-    ],
-    key=len,
-    reverse=True,
-)
-_CA_STEP2_VERB = sorted(
-    [
-        "ar", "er", "ir", "ant", "ent", "int", "at", "ada", "ats", "ades",
-        "it", "ida", "its", "ides", "ut", "uda", "uts", "udes", "ava",
-        "aves", "àvem", "àveu", "aven", "ia", "ies", "íem", "íeu", "ien",
-        "aré", "aràs", "arà", "arem", "areu", "aran", "aria", "aries",
-        "aríem", "aríeu", "arien", "í", "ares", "à", "àrem", "àreu",
-        "aren", "és", "essis", "éssim", "éssiu", "essin", "essi", "em",
-        "eu", "en", "es", "o", "a", "e", "i",
-    ],
-    key=len,
-    reverse=True,
-)
+
+
+def _ca_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def is_v(i):
+        return w[i] in _CA_VOWELS
+
+    def after_vc(start):
+        for i in range(start + 1, n):
+            if not is_v(i) and is_v(i - 1):
+                return i + 1
+        return n
+
+    p1 = after_vc(0)
+    p2 = after_vc(p1 - 1) if p1 < n else n
+    return p1, p2
+
+
+def _ca_find(w: str, among):
+    lens, by_len = among
+    n = len(w)
+    for ln in lens:
+        if ln > n:
+            continue
+        res = by_len[ln].get(w[n - ln:])
+        if res is not None:
+            return w[n - ln:], res
+    return None
 
 
 def catalan_stem(word: str) -> str:
     w = word.lower()
-    if len(w) <= 2:
-        return w
-    rv, r1, r2 = _ca_regions(w)
+    p1, p2 = _ca_regions(w)
 
-    # Step 0: attached pronouns (in RV)
-    for pron in _CA_PRONOUNS:
-        if w.endswith(pron) and len(w) - len(pron) >= rv:
-            w = w[: -len(pron)]
-            break
+    # attached pronouns (R1 delete)
+    m = _ca_find(w, CA_PRON)
+    if m is not None:
+        suf, _res = m
+        if len(w) - len(suf) >= p1:
+            w = w[: len(w) - len(suf)]
 
-    before = w
-    # Step 1: standard suffixes in R2 (R1 for -ment adverbs)
-    for suf in _CA_STEP1:
-        if w.endswith(suf):
-            region = r1 if suf in ("ment", "ments") else r2
-            if len(w) - len(suf) >= region:
-                w = w[: -len(suf)]
-            break
+    # standard suffixes; verb suffixes only if no standard matched
+    std = False
+    m = _ca_find(w, CA_STD)
+    if m is not None:
+        suf, res = m
+        start = len(w) - len(suf)
+        if res == 1 and start >= p1:
+            w, std = w[:start], True
+        elif res == 2 and start >= p2:
+            w, std = w[:start], True
+        elif res == 3 and start >= p2:
+            w, std = w[:start] + "log", True
+        elif res == 4 and start >= p2:
+            w, std = w[:start] + "ic", True
+        elif res == 5 and start >= p1:
+            w, std = w[:start] + "c", True
+    if not std:
+        m = _ca_find(w, CA_VERB)
+        if m is not None:
+            suf, res = m
+            # branch 2 ('ando') needs R2; the rest R1
+            if len(w) - len(suf) >= (p2 if res == 2 else p1):
+                w = w[: len(w) - len(suf)]
 
-    # Step 2: verb suffixes in RV (only if step 1 removed nothing)
-    if w == before:
-        for suf in _CA_STEP2_VERB:
-            if w.endswith(suf) and len(w) - len(suf) >= rv:
-                w = w[: -len(suf)]
-                break
+    # residual suffix
+    m = _ca_find(w, CA_RESID)
+    if m is not None:
+        suf, res = m
+        start = len(w) - len(suf)
+        if start >= p1:
+            w = w[:start] + ("ic" if res == 2 else "")
 
-    # Residual: plural -s / final vowels & accents in RV
-    for suf in ("os", "ns", "s"):
-        if w.endswith(suf) and len(w) - len(suf) >= rv:
-            w = w[: -len(suf)]
-            break
-    for suf in ("a", "o", "à", "á", "ó", "e", "è", "é", "í", "ï"):
-        if w.endswith(suf) and len(w) - len(suf) >= rv:
-            w = w[: -len(suf)]
-            break
-    if w.endswith("iqu"):
-        w = w[:-2] + "c"
-    return (
-        w.replace("à", "a").replace("è", "e").replace("é", "e")
-        .replace("í", "i").replace("ï", "i").replace("ò", "o")
-        .replace("ó", "o").replace("ú", "u").replace("ü", "u")
-    )
+    # cleaning: deaccent + drop ela geminada dot
+    return w.translate(_CA_CLEAN)
 
 
 # ---------------------------------------------------------------------------

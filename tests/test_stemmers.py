@@ -55,7 +55,7 @@ FAMILIES = {
     "french": ["continuer continua continué continue", "nationale nationaux national"],
     "italian": ["cantare cantato cantava", "bella belle"],
     "portuguese": ["cantar canta cantou cantado", "livro livros"],
-    "catalan": ["cantar canta cantava", "casa cases"],
+    "catalan": ["cantar canta cantava", "jugador jugadora jugadores jugadors"],
     "romanian": ["carte cartea", "naționale național"],
     "lithuanian": [
         "Kaunas Kauno", "Sabonis Saboniai", "miestas miesto miestą",

@@ -191,8 +191,7 @@ def suffix_pool(lang: str) -> list[str]:
     import importlib
 
     mods = {
-        "catalan": ("beagle_spark.analysis.snowball_romance",
-                    ["_CA_PRONOUNS", "_CA_STEP1", "_CA_STEP2_VERB"]),
+        "catalan": ("beagle_spark.analysis.snowball_romance", []),
         "romanian": ("beagle_spark.analysis.snowball_romance", []),
         "basque": ("beagle_spark.analysis.snowball_misc", ["_EU_SUFFIXES"]),
         "irish": ("beagle_spark.analysis.snowball_misc", ["_GA_SUFFIXES"]),
