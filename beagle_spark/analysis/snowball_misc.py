@@ -175,31 +175,241 @@ def turkish_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Arabic
+# Arabic — the published Snowball program (arabic.sbl): Checks1 sets
+# noun/verb/definiteness flags from the article prefix, Normalize_pre
+# folds diacritics / Arabic-Indic digits / presentation forms,
+# backward suffix steps (verb paths first, with word-length
+# conditions), forward prefix steps, then Normalize_post rewrites
+# hamza carriers (final -> bare hamza, medial -> plain letter).
 # ---------------------------------------------------------------------------
-_AR_PREFIXES = ("وال", "بال", "كال", "فال", "لل", "ال", "و")
-_AR_SUFFIXES = sorted(
-    ["ها", "ان", "ات", "ون", "ين", "يه", "ية", "هم", "هن", "كم", "كن",
-     "نا", "تم", "تن", "ه", "ي", "ا", "ة"],
-    key=len,
-    reverse=True,
-)
-_AR_NORM = str.maketrans({"أ": "ا", "إ": "ا", "آ": "ا", "ى": "ي", "ئ": "ي", "ؤ": "و"})
+_AR_NORM_POST_FWD = {"\u0622": "\u0627", "\u0623": "\u0627", "\u0625": "\u0627",
+                     "\u0624": "\u0648", "\u0626": "\u064a"}
+_AR_FINAL_HAMZA = ("\u0622", "\u0623", "\u0624", "\u0625", "\u0626")
+
+_AR_VERB_S1 = {"\u0647": 1, "\u0643": 1, "\u0643\u0645": 2, "\u0647\u0645": 2,
+               "\u0643\u0646": 2, "\u0647\u0646": 2, "\u0646\u064a": 2,
+               "\u0646\u0627": 2, "\u0647\u0627": 2, "\u0643\u0645\u0648": 3,
+               "\u0643\u0645\u0627": 3, "\u0647\u0645\u0627": 3}
+_AR_VERB_S2A = {"\u0646": 1, "\u064a": 1, "\u0627": 1, "\u062a": 1,
+                "\u062a\u0646": 2, "\u0646\u0627": 2, "\u062a\u0627": 2,
+                "\u0648\u0646": 3, "\u064a\u0646": 3, "\u0627\u0646": 3,
+                "\u062a\u0645\u0627": 4}
+_AR_VERB_S2B = ("\u062a\u0645", "\u0648\u0627")
+_AR_VERB_S2C = {"\u0648": 1, "\u062a\u0645\u0648": 2}
+_AR_NOUN_S1A = {"\u064a": 1, "\u0643": 1, "\u0647": 1, "\u0643\u0645": 2,
+                "\u0647\u0645": 2, "\u0647\u0646": 2, "\u0646\u0627": 2,
+                "\u0647\u0627": 2, "\u0643\u0645\u0627": 3,
+                "\u0647\u0645\u0627": 3}
+
+
+def _ar_longest(w: str, table) -> tuple[str, int] | None:
+    best = None
+    for suf, res in table.items():
+        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, res)
+    return best
 
 
 def arabic_stem(word: str) -> str:
-    w = word.translate(_AR_NORM)
-    # strip diacritics (harakat)
-    w = "".join(c for c in w if not ("ً" <= c <= "ْ"))
-    for pre in _AR_PREFIXES:
-        if w.startswith(pre) and len(w) - len(pre) >= 3:
-            w = w[len(pre):]
-            break
-    for suf in _AR_SUFFIXES:
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
+    from .snowball_tables import AR_NORM_PRE
+
+    w = word
+    is_noun = is_verb = True
+    is_defined = False
+
+    # Checks1: article prefix fixes the part of speech
+    if w.startswith(("\u0628\u0627\u0644", "\u0643\u0627\u0644")):
+        if len(w) > 4:
+            is_noun, is_verb, is_defined = True, False, True
+    elif w.startswith(("\u0627\u0644", "\u0644\u0644")):
+        if len(w) > 3:
+            is_noun, is_verb, is_defined = True, False, True
+
+    # Normalize_pre: per-char fold (delete diacritics/tatweel, map
+    # Arabic-Indic digits, canonicalize presentation forms)
+    lens, by_len = AR_NORM_PRE
+    digits = "0123456789"
+    canon = ["", "", "", "", "", "", "", "", "", "", "", "\u0621",
+             "\u0623", "\u0625", "\u0626", "\u0622", "\u0624", "\u0627",
+             "\u0628", "\u0629", "\u062a", "\u062b", "\u062c", "\u062d",
+             "\u062e", "\u062f", "\u0630", "\u0631", "\u0632", "\u0633",
+             "\u0634", "\u0635", "\u0636", "\u0637", "\u0638", "\u0639",
+             "\u063a", "\u0641", "\u0642", "\u0643", "\u0644", "\u0645",
+             "\u0646", "\u0647", "\u0648", "\u0649", "\u064a",
+             "\u0644\u0627", "\u0644\u0623", "\u0644\u0625",
+             "\u0644\u0622"]
+    out = []
+    for ch in w:
+        res = by_len.get(1, {}).get(ch)
+        if res is None or ch in _AR_FINAL_HAMZA:
+            # hamza carriers pass through here; the leading entries of
+            # the extracted table belong to the backward final-hamza
+            # among, not Normalize_pre
+            out.append(ch)
+        elif res == 1:
+            pass  # tatweel / harakat deleted
+        elif 2 <= res <= 11:
+            out.append(digits[res - 2])
+        else:
+            out.append(canon[res - 1])
+    w = "".join(out)
+
+    # ---- backward suffix steps ----
+    def strip_verb_suffixes(w: str) -> tuple[str, bool]:
+        hit1 = False
+        while True:  # stacked object pronouns strip repeatedly
+            m = _ar_longest(w, _AR_VERB_S1)
+            if m is None:
+                break
+            suf, res = m
+            need = {1: 4, 2: 5, 3: 6}[res]
+            if len(w) < need:
+                break
             w = w[: -len(suf)]
-            break
-    return w
+            hit1 = True
+        if hit1:
+                m2 = _ar_longest(w, _AR_VERB_S2A)
+                if m2 is not None:
+                    suf2, res2 = m2
+                    need2 = {1: 4, 2: 5, 3: 6, 4: 6}[res2]
+                    if len(w) >= need2:
+                        return w[: -len(suf2)], True
+                m2 = _ar_longest(w, _AR_VERB_S2C)
+                if m2 is not None:
+                    suf2, res2 = m2
+                    need2 = {1: 4, 2: 6}[res2]
+                    if len(w) >= need2:
+                        return w[: -len(suf2)], True
+                return w, True
+        for suf in _AR_VERB_S2B:
+            if w.endswith(suf) and len(w) >= 5:
+                return w[: -len(suf)], True
+        m = _ar_longest(w, _AR_VERB_S2A)
+        if m is not None:
+            suf, res = m
+            need = {1: 4, 2: 5, 3: 6, 4: 6}[res]
+            if len(w) >= need:
+                return w[: -len(suf)], True
+        return w, False
+
+    def strip_noun_suffixes(w: str) -> tuple[str, bool]:
+        changed = False
+        if w.endswith("\u0629") and len(w) >= 4:
+            w, changed = w[:-1], True
+        else:
+            done = False
+            if not is_defined:
+                m = _ar_longest(w, _AR_NOUN_S1A)
+                if m is not None:
+                    suf, res = m
+                    need = {1: 4, 2: 5, 3: 6}[res]
+                    if len(w) >= need:
+                        w, changed, done = w[: -len(suf)], True, True
+                        for s2a in ("\u0627", "\u064a", "\u0648"):
+                            if w.endswith(s2a) and len(w) >= 5:
+                                w = w[:-1]
+                                break
+                        else:
+                            if w.endswith("\u0627\u062a") and len(w) >= 5:
+                                w = w[:-2]
+                            elif w.endswith("\u062a") and len(w) >= 4:
+                                w = w[:-1]
+            if not done and w.endswith("\u0646") and len(w) > 5:
+                w, changed, done = w[:-1], True, True
+                for s2a in ("\u0627", "\u064a", "\u0648"):
+                    if w.endswith(s2a) and len(w) >= 5:
+                        w = w[:-1]
+                        break
+                else:
+                    if w.endswith("\u0627\u062a") and len(w) >= 5:
+                        w = w[:-2]
+                    elif w.endswith("\u062a") and len(w) >= 4:
+                        w = w[:-1]
+            if not done and not is_defined:
+                for s2a in ("\u0627", "\u064a", "\u0648"):
+                    if w.endswith(s2a) and len(w) >= 5:
+                        w, changed, done = w[:-1], True, True
+                        break
+            if not done and w.endswith("\u0627\u062a") and len(w) >= 5:
+                w, changed = w[:-2], True
+        step3 = False
+        if w.endswith("\u064a") and len(w) >= 3:
+            w, changed, step3 = w[:-1], True, True
+        return w, changed, step3
+
+    verb_handled = False
+    if is_verb:
+        w2, ok = strip_verb_suffixes(w)
+        if ok:
+            w, verb_handled = w2, True
+    if not verb_handled:
+        step3 = False
+        if is_noun:
+            w, _ok, step3 = strip_noun_suffixes(w)
+        # alef maqsura -> yeh: the or-alternative of Suffix_Noun_Step3
+        if not step3 and w.endswith("\u0649"):
+            w = w[:-1] + "\u064a"
+
+    # ---- forward prefix steps ----
+    # Forward-mode cursor persists across steps: a replacement leaves
+    # the cursor after the inserted text, so later steps match the
+    # remainder (e.g. Prefix_Step3b can strip a preposition exposed
+    # by Prefix_Step1's hamza folding).
+    c = 0
+    # Prefix_Step1: doubled initial hamza
+    if len(w) > 3:
+        for pre, repl in (("\u0623\u0622", "\u0622"), ("\u0623\u0623", "\u0623"),
+                          ("\u0623\u0624", "\u0623"), ("\u0623\u0625", "\u0625"),
+                          ("\u0623\u0627", "\u0622")):
+            if w.startswith(pre):
+                w = repl + w[2:]
+                c = len(repl)
+                break
+    # Prefix_Step2: conjunction fa/waw (not before alef)
+    if len(w) > 3 and w[c:c + 1] in ("\u0641", "\u0648") and w[c + 1:c + 2] != "\u0627":
+        w = w[:c] + w[c + 1:]
+    # Prefix_Step3: article / preposition / verb-future prefixes
+    rest = w[c:]
+    done3 = False
+    if rest.startswith(("\u0628\u0627\u0644", "\u0643\u0627\u0644")):
+        if len(w) > 5:
+            w, done3 = w[:c] + rest[3:], True
+    elif rest.startswith(("\u0627\u0644", "\u0644\u0644")):
+        if len(w) > 4:
+            w, done3 = w[:c] + rest[2:], True
+    if not done3 and is_noun and len(w) > 3:
+        if rest.startswith("\u0628\u0628"):
+            w, done3 = w[:c] + "\u0628" + rest[2:], True
+            c += 1
+        elif rest.startswith("\u0643\u0643"):
+            w, done3 = w[:c] + "\u0643" + rest[2:], True
+            c += 1
+        elif rest.startswith("\u0628") and not rest.startswith("\u0628\u0627"):
+            w, done3 = w[:c] + rest[1:], True
+    if not done3 and is_verb and len(w) > 4:
+        sub = False
+        for pre, repl in (("\u0633\u064a", "\u064a"), ("\u0633\u062a", "\u062a"),
+                          ("\u0633\u0646", "\u0646"), ("\u0633\u0623", "\u0623")):
+            if rest.startswith(pre):
+                w = w[:c] + repl + rest[2:]
+                c += len(repl)
+                sub = True
+                break
+        rest = w[c:]
+        if not sub or len(w) > 4:
+            for pre in ("\u064a\u0633\u062a", "\u0646\u0633\u062a",
+                        "\u062a\u0633\u062a"):
+                if rest.startswith(pre):
+                    w = w[:c] + "\u0627\u0633\u062a" + rest[3:]
+                    break
+
+    # ---- Normalize_post ----
+    if w and w.endswith(_AR_FINAL_HAMZA):
+        w = w[:-1] + "\u0621"
+    w = "".join(_AR_NORM_POST_FWD.get(c, c) for c in w)
+    # a fully-normalized-away input (diacritics only) keeps its form,
+    # matching the dictionary-level behavior of the reference stack
+    return w if w else word
 
 
 # ---------------------------------------------------------------------------

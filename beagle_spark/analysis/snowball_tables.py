@@ -389,3 +389,39 @@ CA_PRON = compile_among([
     ('nos', 1), ('-nos', 1), ('vos', 1), ('us', 1), ('-us', 1), ("'t", 1),
 ])
 
+
+# ------------------------------------------------------------------
+# Arabic (arabic.sbl): normalization, Checks1, verb/noun suffix
+# steps with word-length conditions, prefix steps. The generated
+# among tables for single-entry routines are inlined in
+# snowball_misc.py; the two big normalization tables live here.
+# ------------------------------------------------------------------
+# Normalize_pre: tatweel/diacritic deletion (1), Arabic-Indic digit
+# mapping (2-11), presentation-form folding (12-51)
+AR_NORM_PRE = compile_among([
+    ('آ', 1), ('أ', 1), ('ؤ', 1), ('إ', 1), ('ئ', 1), ('ـ', 1), ('ً', 1),
+    ('ٌ', 1), ('ٍ', 1), ('َ', 1), ('ُ', 1), ('ِ', 1), ('ّ', 1), ('ْ', 1),
+    ('٠', 2), ('١', 3), ('٢', 4), ('٣', 5), ('٤', 6), ('٥', 7), ('٦', 8),
+    ('٧', 9), ('٨', 10), ('٩', 11), ('ﺀ', 12), ('ﺁ', 16), ('ﺂ', 16),
+    ('ﺃ', 13), ('ﺄ', 13), ('ﺅ', 17), ('ﺆ', 17), ('ﺇ', 14), ('ﺈ', 14),
+    ('ﺉ', 15), ('ﺊ', 15), ('ﺋ', 15), ('ﺌ', 15), ('ﺍ', 18), ('ﺎ', 18),
+    ('ﺏ', 19), ('ﺐ', 19), ('ﺑ', 19), ('ﺒ', 19), ('ﺓ', 20), ('ﺔ', 20),
+    ('ﺕ', 21), ('ﺖ', 21), ('ﺗ', 21), ('ﺘ', 21), ('ﺙ', 22), ('ﺚ', 22),
+    ('ﺛ', 22), ('ﺜ', 22), ('ﺝ', 23), ('ﺞ', 23), ('ﺟ', 23), ('ﺠ', 23),
+    ('ﺡ', 24), ('ﺢ', 24), ('ﺣ', 24), ('ﺤ', 24), ('ﺥ', 25), ('ﺦ', 25),
+    ('ﺧ', 25), ('ﺨ', 25), ('ﺩ', 26), ('ﺪ', 26), ('ﺫ', 27), ('ﺬ', 27),
+    ('ﺭ', 28), ('ﺮ', 28), ('ﺯ', 29), ('ﺰ', 29), ('ﺱ', 30), ('ﺲ', 30),
+    ('ﺳ', 30), ('ﺴ', 30), ('ﺵ', 31), ('ﺶ', 31), ('ﺷ', 31), ('ﺸ', 31),
+    ('ﺹ', 32), ('ﺺ', 32), ('ﺻ', 32), ('ﺼ', 32), ('ﺽ', 33), ('ﺾ', 33),
+    ('ﺿ', 33), ('ﻀ', 33), ('ﻁ', 34), ('ﻂ', 34), ('ﻃ', 34), ('ﻄ', 34),
+    ('ﻅ', 35), ('ﻆ', 35), ('ﻇ', 35), ('ﻈ', 35), ('ﻉ', 36), ('ﻊ', 36),
+    ('ﻋ', 36), ('ﻌ', 36), ('ﻍ', 37), ('ﻎ', 37), ('ﻏ', 37), ('ﻐ', 37),
+    ('ﻑ', 38), ('ﻒ', 38), ('ﻓ', 38), ('ﻔ', 38), ('ﻕ', 39), ('ﻖ', 39),
+    ('ﻗ', 39), ('ﻘ', 39), ('ﻙ', 40), ('ﻚ', 40), ('ﻛ', 40), ('ﻜ', 40),
+    ('ﻝ', 41), ('ﻞ', 41), ('ﻟ', 41), ('ﻠ', 41), ('ﻡ', 42), ('ﻢ', 42),
+    ('ﻣ', 42), ('ﻤ', 42), ('ﻥ', 43), ('ﻦ', 43), ('ﻧ', 43), ('ﻨ', 43),
+    ('ﻩ', 44), ('ﻪ', 44), ('ﻫ', 44), ('ﻬ', 44), ('ﻭ', 45), ('ﻮ', 45),
+    ('ﻯ', 46), ('ﻰ', 46), ('ﻱ', 47), ('ﻲ', 47), ('ﻳ', 47), ('ﻴ', 47),
+    ('ﻵ', 51), ('ﻶ', 51), ('ﻷ', 49), ('ﻸ', 49), ('ﻹ', 50), ('ﻺ', 50),
+    ('ﻻ', 48), ('ﻼ', 48),
+])

@@ -79,7 +79,7 @@ FAMILIES = {
     "finnish": ["talo talossa talosta taloon"],
     "hungarian": ["ház házat házak házban"],
     "turkish": ["ev evler evlerin evlerden"],
-    "arabic": ["كتاب الكتاب والكتاب"],
+    "arabic": ["كتاب الكتاب بالكتاب كتابهم"],
     "armenian": ["քաղաքները քաղաքներում"],
     "basque": ["etxe etxeak etxeen"],
     "irish": ["fuinneog bhfuinneog"],
