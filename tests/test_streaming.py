@@ -143,3 +143,52 @@ def test_stateful_match_totals(spark, sf_dir, tmp_path):
     expected = {r["dict_entry_id"]: r["count"] for r in batch}
     got = {r["dict_entry_id"]: r["n"] for r in rows}
     assert got == expected
+
+
+def test_batch_streaming_annotation_equivalence(spark, sf_dir, tmp_path):
+    """SURVEY §5 item 4: the annotate operator yields the identical
+    annotation set whether the corpus is read as a batch DataFrame or
+    consumed through readStream + foreachBatch (the operator is a
+    stateless row map, so the plans must agree row-for-row)."""
+    from beagle_spark import Annotator
+
+    dictionary = [
+        {"text": "table scan", "id": "p1", "case-sensitive?": False},
+        {"text": "data", "id": "p2", "stem?": True, "stemmer": "english"},
+    ]
+    src = str(tmp_path / "src")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    docs.write.parquet(src)
+    ann = Annotator(dictionary)
+
+    def explode_sorted(df):
+        return {
+            (r["doc_id"], r["match_text"], r["dict_entry_id"],
+             r["begin_offset"], r["end_offset"])
+            for r in ann.explode(df, text_col="text",
+                                 keep_cols=["doc_id"]).collect()
+        }
+
+    batch_set = explode_sorted(spark.read.parquet(src))
+
+    collected = []
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    def sink(bdf, _bid):
+        collected.extend(
+            ann.explode(bdf, text_col="text", keep_cols=["doc_id"]).collect()
+        )
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    stream_set = {
+        (r["doc_id"], r["match_text"], r["dict_entry_id"],
+         r["begin_offset"], r["end_offset"])
+        for r in collected
+    }
+    assert batch_set, "expected non-empty annotation set"
+    assert stream_set == batch_set
