@@ -39,8 +39,19 @@ class Token(NamedTuple):
 # hangul forms runs (<HANGUL>). The general alnum run excludes those
 # scripts (regex-module V1 set subtraction).
 _ALNUM = r"[[\p{L}\p{M}\p{Nd}]--[\p{Han}\p{Hiragana}\p{Katakana}]]"
+# UAX#29 WB15/16: regional indicators bind in PAIRS (a flag = one
+# token; an odd trailing RI stands alone). WB3c: no break inside
+# emoji ZWJ sequences; Extended_Pictographic with variation selectors
+# (FE0F), skin-tone modifiers (1F3FB-1F3FF) and combining marks stays
+# one token — Lucene 8.x StandardTokenizer emits these as <EMOJI>.
+_EMOJI_UNIT = (
+    r"\p{Extended_Pictographic}[\uFE0F\U0001F3FB-\U0001F3FF\p{Mn}]*"
+)
 _STANDARD = re.compile(
-    r"\p{Katakana}+"
+    r"\p{Regional_Indicator}{2}"
+    r"|\p{Regional_Indicator}"
+    rf"|{_EMOJI_UNIT}(?:\u200D{_EMOJI_UNIT})*"
+    r"|\p{Katakana}+"
     r"|[\p{Han}\p{Hiragana}]"
     rf"|{_ALNUM}+"
     rf"(?:(?:(?<=\p{{L}})['’.](?=\p{{L}})|(?<=\p{{Nd}})[.,](?=\p{{Nd}})){_ALNUM}+)*",

@@ -155,6 +155,29 @@ def main():
             f"-> {n_docs / sec:.0f} docs/s (cold {cold_sec:.2f}s, {n_ann} anns)"
         )
     ann_stats["targets_docs_per_sec"] = {"5k": 2000, "80k": 400}  # BASELINE.md 2x gate
+
+    # --- steady-state scale probe: >=100k docs (VERDICT r6 item 8) ---
+    # replicate the corpus so per-job overhead stops dominating; this is
+    # the docs/s a long-running 100 TB job sees per 32-core node.
+    repl = max(1, (100_000 + n_docs - 1) // n_docs)
+    big = (
+        docs.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(repl))))
+        .drop("_r")
+        .repartition(int(CPUS))
+        .cache()
+    )
+    n_big = big.count()
+    ann5k = Annotator(make_dictionary(5_000))
+    out_big = ann5k.annotate_df(big).select(F.sum(F.size("annotations")).alias("n"))
+    big_sec, _ = timed(lambda: out_big.collect())
+    big.unpersist()
+    ann_stats["steady_100k"] = {
+        "n_docs": int(n_big),
+        "annotate_sec": round(big_sec, 3),
+        "docs_per_sec": round(n_big / big_sec, 1),
+    }
+    results["annotate_100k_docs"] = round(big_sec, 3)
+    log(f"annotate 100k-doc probe: {n_big} docs in {big_sec:.2f}s -> {n_big / big_sec:.0f} docs/s")
     extra["annotate"] = ann_stats
 
     # --- registry headline queries ---
@@ -164,6 +187,9 @@ def main():
         "q10_part_revenue", "q12_value_quantiles", "t7_lucene_sql_path",
         "t5_dict_match_counts", "dd_exact", "dd_minhash_lsh", "dd_simhash",
         "sim_topk", "ts_token_count", "ts_quality", "ts_fingerprint",
+        # heavy non-benched queries (VERDICT r6 item 5)
+        "ts_winnow", "dd_clusters", "dd_simhash_pairs", "dd_embed_neardup",
+        "sim_ivf_ann",
     ]
     for name in bench_queries:
         fn, _sql = REGISTRY[name]

@@ -61,3 +61,30 @@ def test_emoji_and_cjk():
     hl = highlighter([{"text": "中文测试"}])
     anns = hl(text)
     assert anns and anns[0]["text"] == "中文测试"
+
+
+def test_uax29_regional_indicators_and_zwj():
+    """UAX#29 WB15/16 (regional indicators pair into flags) and WB3c
+    (no break inside emoji ZWJ sequences); Lucene 8.x StandardTokenizer
+    emits these as <EMOJI> tokens."""
+    from beagle_spark.analysis.tokenizers import get_tokenizer
+
+    tok = get_tokenizer("standard")
+    # two flags = two RI pairs, not four RI singles or one run
+    assert [t.text for t in tok("\U0001F1FA\U0001F1F8\U0001F1E9\U0001F1EA")] == [
+        "\U0001F1FA\U0001F1F8", "\U0001F1E9\U0001F1EA"
+    ]
+    # odd RI count: trailing single stands alone
+    assert [t.text for t in tok("\U0001F1FA\U0001F1F8\U0001F1E9")] == [
+        "\U0001F1FA\U0001F1F8", "\U0001F1E9"
+    ]
+    # ZWJ family sequence is ONE token
+    fam = "\U0001F469‍\U0001F469‍\U0001F467"
+    assert [t.text for t in tok(f"go {fam} now")] == ["go", fam, "now"]
+    # skin-tone modifier binds to its base
+    assert [t.text for t in tok("a \U0001F44D\U0001F3FD b")] == [
+        "a", "\U0001F44D\U0001F3FD", "b"
+    ]
+    # emoji are matchable as dictionary phrases end-to-end
+    anns = highlighter([{"text": fam, "id": "f"}])(f"pic {fam} attached")
+    assert anns and anns[0]["text"] == fam and anns[0]["begin_offset"] == 4
