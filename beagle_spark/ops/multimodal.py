@@ -55,12 +55,61 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Dependency-free decoder for uncompressed 24/32-bit BMP
+    (BITMAPINFOHEADER): returns an (h, w, 3) uint8 RGB array. Proves
+    the mapInPandas decode seam end-to-end without an imaging library;
+    rows are stored bottom-up and padded to 4-byte boundaries."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    flip = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) & ~3
+    out = np.empty((height, width, 3), dtype=np.uint8)
+    for r in range(height):
+        off = data_off + r * row_bytes
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * nch, offset=off)
+        row = row.reshape(width, nch)
+        dst = (height - 1 - r) if flip else r
+        out[dst] = row[:, [2, 1, 0]]  # BGR(A) -> RGB
+    return out
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Minimal 24-bit BMP writer (test/dev helper, inverse of
+    decode_bmp)."""
+    import struct
+
+    h, w = rgb.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for r in range(h - 1, -1, -1):
+        row = rgb[r][:, [2, 1, 0]].astype(np.uint8).tobytes()
+        rows.append(row + b"\x00" * (row_bytes - len(row)))
+    return header + b"".join(rows)
+
+
 def decode_image(payload: bytes, fmt: str):
-    """Real decode is not available in this environment. On a cluster
-    image with PIL: `Image.open(io.BytesIO(payload))`."""
+    """BMP decodes natively (decode_bmp); other formats need an imaging
+    library not present in this environment (on a cluster image with
+    PIL: `Image.open(io.BytesIO(payload))`)."""
+    if fmt and fmt.lower() == "bmp":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake=True for the deterministic test kernel"
+        "only uncompressed BMP decodes without an imaging library; use "
+        "fake=True for the deterministic test kernel"
     )
 
 
@@ -78,20 +127,41 @@ def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
     return (v / n if n else v).astype(np.float32)
 
 
+def _image_feature(payload: bytes, fmt: str, dim: int) -> list | None:
+    """Real decode path: per-channel mean/std + a coarse luminance
+    histogram from the decoded RGB array, padded/truncated to dim."""
+    rgb = decode_image(payload, fmt)
+    flat = rgb.reshape(-1, 3).astype(np.float64)
+    feats = list(flat.mean(axis=0) / 255.0) + list(flat.std(axis=0) / 255.0)
+    lum = flat.mean(axis=1)
+    hist, _ = np.histogram(lum, bins=max(1, dim - 6), range=(0.0, 255.0))
+    total = hist.sum() or 1
+    feats += list(hist / total)
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return [float(x) for x in feats]
+
+
 def extract_features(
     df: DataFrame, dim: int = 8, batch_hint: int = 1024, fake: bool = True
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Arrow ships
-    the bytes zero-copy; each pandas batch is processed vectorized."""
-    if not fake:
-        decode_image(b"", "")  # raises: real decoders not available here
+    the bytes zero-copy; each pandas batch is processed vectorized.
+    With fake=False, payloads decode for real (BMP natively; other
+    formats raise until an imaging library is present)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_feature(p, dim).tolist() if p is not None else None
-                for p in pdf["payload"]
-            ]
+            if fake:
+                feats = [
+                    _fake_feature(p, dim).tolist() if p is not None else None
+                    for p in pdf["payload"]
+                ]
+            else:
+                fmts = pdf["format"] if "format" in pdf else [""] * len(pdf)
+                feats = [
+                    _image_feature(p, f, dim) if p is not None else None
+                    for p, f in zip(pdf["payload"], fmts)
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
