@@ -34,6 +34,7 @@ _STEP1_ADOR = ("aciones", "adoras", "adores", "ancias", "adora", "ación",
 _STEP2B_GU = ("éis", "emos", "en", "es")
 _STEP2B = (
     "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "asteis", "isteis",
+    "aremos", "eremos", "iremos",
     "ábamos", "áramos", "ásemos", "arían", "arías", "aríais", "eríais",
     "iríais", "ierais", "ieseis", "abais", "arais", "aseis", "íamos",
     "erían", "erías", "irían", "irías", "ieran", "iesen", "ieron", "iendo",
@@ -200,21 +201,21 @@ def spanish_stem(word: str) -> str:
         removed_2a = False
         for suf in ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
                     "yes", "ya", "ye", "yo", "yó"):
-            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+            # setlimit semantics: the preceding 'u' must sit in RV too
+            if w.endswith(suf) and in_rv(len(w) - len(suf) - 1):
                 if len(w) > len(suf) and w[-len(suf) - 1] == "u":
                     w = w[: -len(suf)]
                     removed_2a = True
                 break
         if not removed_2a:
-            # Step 2b: main verb suffixes in RV
-            matched = False
+            # Step 2b: main verb suffixes — the published program uses
+            # `setlimit tomark pV for [substring]`, so entries crossing
+            # RV can't match and a shorter in-RV entry wins instead
             for suf in sorted(_STEP2B_GU + _STEP2B, key=len, reverse=True):
-                if w.endswith(suf):
-                    if in_rv(len(w) - len(suf)):
-                        w = w[: -len(suf)]
-                        if suf in _STEP2B_GU and w.endswith("gu"):
-                            w = w[:-1]
-                    matched = True
+                if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                    if suf in _STEP2B_GU and w.endswith("gu"):
+                        w = w[:-1]
                     break
 
     # Step 3: residual suffix

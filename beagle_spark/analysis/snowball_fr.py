@@ -18,22 +18,43 @@ _VOWELS = frozenset("aeiouyâàëéêèïîôûù")
 
 
 def _prelude(w: str) -> str:
+    """The published `repeat goto` marking walk: after a vowel, u/i
+    before a vowel and any y are marked; y before a vowel marks; u
+    after q marks. The cursor moves past each marked char, so marks
+    never chain ("aiie" -> "aIie"; "yue" -> "yUe" with the y left a
+    vowel)."""
     chars = list(w)
     n = len(chars)
-    out = []
-    for i in range(n):
+    i = 0
+    while i < n:
         c = chars[i]
-        prev_v = i > 0 and chars[i - 1] in _VOWELS
-        next_v = i + 1 < n and chars[i + 1] in _VOWELS
-        if c in "ui" and prev_v and next_v:
-            out.append(c.upper())
-        elif c == "y" and (prev_v or next_v):
-            out.append("Y")
-        elif c == "u" and i > 0 and chars[i - 1] == "q":
-            out.append("U")
-        else:
-            out.append(c)
-    return "".join(out)
+        if c in _VOWELS and i + 1 < n:
+            nxt = chars[i + 1]
+            if nxt == "u" and i + 2 < n and chars[i + 2] in _VOWELS:
+                chars[i + 1] = "U"
+                i += 2
+                continue
+            if nxt == "i" and i + 2 < n and chars[i + 2] in _VOWELS:
+                chars[i + 1] = "I"
+                i += 2
+                continue
+            if nxt == "y":
+                chars[i + 1] = "Y"
+                i += 2
+                continue
+        if c == "y" and i + 1 < n and chars[i + 1] in _VOWELS:
+            chars[i] = "Y"
+            i += 1
+            continue
+        if c == "q" and i + 1 < n and chars[i + 1] == "u":
+            chars[i + 1] = "U"
+            i += 2
+            continue
+        i += 1
+    # diaeresis decomposition: the published prelude rewrites
+    # {e"} -> He and {i"} -> Hi (H is a marker consonant), recomposed
+    # by the postlude — this is what lets 'e' strip after ë etc.
+    return "".join(chars).replace("ë", "He").replace("ï", "Hi")
 
 
 def _regions(w: str) -> tuple[int, int, int]:
@@ -88,8 +109,6 @@ _STEP2B_A = (
 
 def french_stem(word: str) -> str:
     w = _prelude(word.lower())
-    if len(w) <= 2:
-        return w.replace("Y", "y").replace("U", "u").replace("I", "i")
     rv, r1, r2 = _regions(w)
 
     def in_rv(p):
@@ -236,7 +255,10 @@ def french_stem(word: str) -> str:
         for suf in _STEP2A:
             if w.endswith(suf):
                 i = len(w) - len(suf)
-                if in_rv(i) and i >= 1 and w[i - 1] not in _VOWELS and in_rv(i - 1):
+                # branch guard: (not 'H') non-v delete — the diaeresis
+                # marker H blocks i-verb stripping (ï is not a verb i)
+                if (in_rv(i) and i >= 1 and w[i - 1] not in _VOWELS
+                        and w[i - 1] != "H" and in_rv(i - 1)):
                     w = w[:i]
                     did_2a = True
                 break
@@ -271,29 +293,39 @@ def french_stem(word: str) -> str:
         elif w.endswith("ç"):
             w = w[:-1] + "c"
     else:
-        # step 4
-        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+        # step 4 (residual): try ['s'] first, then a pV-limited among —
+        # entries crossing RV can't match, shorter in-RV entries win
+        if w.endswith("s") and len(w) >= 2 and (
+            w[-3:-1] == "Hi" or w[-2] not in "aiouès"
+        ):
             w = w[:-1]
-        if w.endswith("ion") and in_r2(len(w) - 3):
-            i = len(w) - 3
-            if i >= 1 and w[i - 1] in "st" and in_rv(i - 1):
-                w = w[:-3]
-        elif w.endswith(("Ière", "ière", "Ier", "ier")):
-            suf = next(s for s in ("Ière", "ière", "Ier", "ier") if w.endswith(s))
-            if in_rv(len(w) - len(suf)):
-                w = w[: -len(suf)] + "i"
-        elif w.endswith("e") and in_rv(len(w) - 1):
-            w = w[:-1]
+        for suf in ("Ière", "ière", "Ier", "ier", "ion", "e"):
+            if not w.endswith(suf) or not in_rv(len(w) - len(suf)):
+                continue
+            i = len(w) - len(suf)
+            if suf == "ion":
+                # R2 + preceded by s/t, the s/t itself inside RV
+                if in_r2(i) and i >= 1 and w[i - 1] in "st" and in_rv(i - 1):
+                    w = w[:i]
+                break
+            if suf in ("Ière", "ière", "Ier", "ier"):
+                w = w[:i] + "i"
+            else:
+                w = w[:i]
+            break
 
     # ---- Step 5: undouble ----
     if w.endswith(("enn", "onn", "ett", "ell", "eill")):
         w = w[:-1]
 
-    # ---- Step 6: un-accent ----
-    for i in range(len(w) - 1, -1, -1):
-        if w[i] in _VOWELS or w[i] in "IUY":
-            if w[i] in "éè" and i < len(w) - 1:
-                w = w[:i] + "e" + w[i + 1 :]
-            break
+    # ---- Step 6: un-accent: (atleast 1 non-v) ['é'|'è'] <- 'e'.
+    # Marked I/U/Y/H count as non-vowels here.
+    j = len(w) - 1
+    while j >= 0 and w[j] not in _VOWELS:
+        j -= 1
+    if j >= 0 and j < len(w) - 1 and w[j] in "éè":
+        w = w[:j] + "e" + w[j + 1:]
 
-    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+    # postlude: unmark, recompose diaereses, drop stray markers
+    w = w.replace("I", "i").replace("U", "u").replace("Y", "y")
+    return w.replace("Hi", "ï").replace("He", "ë").replace("H", "")
