@@ -59,8 +59,9 @@ def _prelude(word: str, german2: bool) -> str:
 
 def _regions(w: str) -> tuple[int, int]:
     def first_nonvowel_after_vowel(start: int) -> int:
+        # marked U/Y are consonants here (uppercase, so not in _VOWELS)
         for i in range(start + 1, len(w)):
-            if w[i].lower() not in _VOWELS and w[i - 1].lower() in _VOWELS:
+            if w[i] not in _VOWELS and w[i - 1] in _VOWELS:
                 return i + 1
         return len(w)
 
@@ -73,8 +74,6 @@ def _regions(w: str) -> tuple[int, int]:
 
 
 def _stem(word: str, german2: bool) -> str:
-    if len(word) <= 2:
-        return word.replace("ß", "ss")
     w = _prelude(word.lower(), german2)
     r1, r2 = _regions(w)
 

@@ -41,13 +41,13 @@ def _regions(w: str) -> tuple[int, int]:
         if w[i] not in _VOWELS and w[i - 1] in _VOWELS:
             r1 = i + 1
             break
-    r1 = max(r1, 3)
+    # R2 is marked from the UNadjusted R1; only R1 gets the >=3 floor
     r2 = len(w)
     for i in range(r1 + 1, len(w)):
         if w[i] not in _VOWELS and w[i - 1] in _VOWELS:
             r2 = i + 1
             break
-    return r1, r2
+    return max(r1, 3), r2
 
 
 def _undouble(w: str) -> str:
@@ -58,14 +58,14 @@ def _undouble(w: str) -> str:
 
 def dutch_stem(word: str) -> str:
     w = _prelude(word.lower())
-    if len(w) <= 2:
-        return w
     r1, r2 = _regions(w)
     e_removed = False
 
-    # Step 1
-    if w.endswith("heden") and len(w) - 5 >= r1:
-        w = w[:-5] + "heid"
+    # Step 1 — among commit semantics: the longest matching entry is
+    # chosen first; if its condition fails nothing shorter is tried
+    if w.endswith("heden"):
+        if len(w) - 5 >= r1:
+            w = w[:-5] + "heid"
     elif w.endswith(("ene", "en")):
         suf = "ene" if w.endswith("ene") else "en"
         stem = w[: -len(suf)]
@@ -79,7 +79,8 @@ def dutch_stem(word: str) -> str:
     elif w.endswith(("se", "s")):
         suf = "se" if w.endswith("se") else "s"
         stem = w[: -len(suf)]
-        if len(w) - len(suf) >= r1 and stem and stem[-1] not in _VOWELS and stem[-1] != "j":
+        if (len(w) - len(suf) >= r1 and stem and stem[-1] not in _VOWELS
+                and stem[-1] != "j"):
             w = stem
 
     # Step 2

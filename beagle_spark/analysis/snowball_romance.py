@@ -192,10 +192,11 @@ def italian_stem(word: str) -> str:
 
     # Step 2: verb suffixes (only if step 1 removed nothing)
     if w == before:
+        # setlimit tomark pV: a region-crossing longer entry never
+        # blocks a shorter in-RV one
         for suf in _IT_STEP2:
-            if w.endswith(suf):
-                if in_rv(len(w) - len(suf)):
-                    w = w[: -len(suf)]
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
                 break
 
     # Step 3a: residual vowel (then a further final i)
@@ -203,8 +204,8 @@ def italian_stem(word: str) -> str:
         w = w[:-1]
         if w.endswith("i") and in_rv(len(w) - 1):
             w = w[:-1]
-    # Step 3b
-    if w.endswith(("ch", "gh")) and in_rv(len(w) - 1):
+    # Step 3b: the whole ch/gh must sit in RV
+    if w.endswith(("ch", "gh")) and in_rv(len(w) - 2):
         w = w[:-1]
 
     return w.replace("I", "i").replace("U", "u").replace("Y", "y")
@@ -237,12 +238,11 @@ _PT_STEP2 = sorted(
         "as", "adas", "idas", "ias", "arias", "erias", "irias", "arás",
         "erás", "irás", "avas", "es", "ardes", "erdes", "irdes", "ares",
         "eres", "ires", "asses", "esses", "isses", "astes", "estes",
-        "istes", "is", "ais", "iais", "aríais", "eríais", "iríais",
-        "áreis", "areis", "éreis", "ereis", "íreis", "ireis", "ásseis",
-        "ésseis", "ísseis", "asseis", "esseis", "isseis", "áveis",
-        "aveis", "íeis", "ieis", "aríeis", "eríeis", "iríeis", "ados",
-        "idos", "amos", "ámos", "íamos", "iamos", "aríamos", "eríamos",
-        "iríamos", "áramos", "éramos", "íramos", "ávamos", "avamos",
+        "istes", "is", "ais", "aras", "eras", "eis", "áreis", "areis",
+        "éreis", "ereis", "íreis", "ireis", "ásseis", "ésseis",
+        "ísseis", "áveis", "íeis", "aríeis", "eríeis", "iríeis", "ados",
+        "idos", "amos", "ámos", "íamos", "aríamos", "eríamos",
+        "iríamos", "áramos", "éramos", "íramos", "ávamos",
         "emos", "aremos", "eremos", "iremos", "ássemos", "êssemos",
         "íssemos", "imos", "armos", "ermos", "irmos", "eu", "iu", "ou",
         "ira", "iras",
@@ -254,8 +254,6 @@ _PT_STEP2 = sorted(
 
 def portuguese_stem(word: str) -> str:
     w = word.lower().replace("ã", "a~").replace("õ", "o~")
-    if len(w) <= 2:
-        return w.replace("a~", "ã").replace("o~", "õ")
     rv, r1, r2 = _pt_regions(w)
 
     def in_rv(p):
@@ -323,12 +321,13 @@ def portuguese_stem(word: str) -> str:
 
     step1_removed = w != before
 
-    # Step 2: verb suffixes (only if step 1 removed nothing)
+    # Step 2: verb suffixes (only if step 1 removed nothing) — the
+    # published program matches under `setlimit tomark pV`, so a
+    # region-crossing longer entry never blocks a shorter in-RV one
     if not step1_removed:
         for suf in _PT_STEP2:
-            if w.endswith(suf):
-                if in_rv(len(w) - len(suf)):
-                    w = w[: -len(suf)]
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
                 break
 
     altered = w != before
@@ -344,14 +343,15 @@ def portuguese_stem(word: str) -> str:
                     w = w[: -len(suf)]
                 break
 
-    # Step 5: final e / é / ê, with gu/ci fix; final ç -> c
+    # Step 5: ( ['e'|'é'|'ê'] RV delete + gu/ci fix ) OR ( ['ç'] <- 'c' )
+    # — an or-chain: a successful e-removal skips the cedilla rewrite
     if w and w[-1] in "eéê" and in_rv(len(w) - 1):
         w = w[:-1]
         if w.endswith("gu") and in_rv(len(w) - 1):
             w = w[:-1]
         elif w.endswith("ci") and in_rv(len(w) - 1):
             w = w[:-1]
-    if w.endswith("ç"):
+    elif w.endswith("ç"):
         w = w[:-1] + "c"
 
     return w.replace("a~", "ã").replace("o~", "õ")

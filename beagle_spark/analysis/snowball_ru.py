@@ -64,8 +64,6 @@ def _strip_group1(w: str, rv: int, suffixes) -> str | None:
 
 def russian_stem(word: str) -> str:
     w = word.lower().replace("ё", "е")
-    if len(w) <= 2:
-        return w
     rv = len(w)
     for i, c in enumerate(w):
         if c in _VOWELS:
@@ -126,7 +124,8 @@ def russian_stem(word: str) -> str:
             w = w[: -len(suf)]
             break
 
-    # Step 4: tidy
+    # Step 4: an or-chain — undouble нн, OR strip the superlative
+    # (then undouble нн), OR strip a soft sign; only one branch runs
     if w.endswith("нн") and len(w) - 1 >= rv:
         w = w[:-1]
     else:
@@ -136,6 +135,7 @@ def russian_stem(word: str) -> str:
                 if w.endswith("нн") and len(w) - 1 >= rv:
                     w = w[:-1]
                 break
-    if w.endswith("ь") and len(w) - 1 >= rv:
-        w = w[:-1]
+        else:
+            if w.endswith("ь") and len(w) - 1 >= rv:
+                w = w[:-1]
     return w

@@ -39,9 +39,9 @@ def _longest_in_r1(w: str, r1: int, suffixes) -> str | None:
 _DA_STEP1 = sorted(
     [
         "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
-        "erne", "ere", "en", "heden", "eren", "heder", "erer", "heds",
-        "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
-        "hedens", "erens", "heders", "ets", "erets", "et", "eret",
+        "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+        "heds", "es", "endes", "erendes", "enes", "ernes", "eres",
+        "ens", "hedens", "erens", "ers", "ets", "erets", "et", "eret",
     ],
     key=len,
     reverse=True,
@@ -51,10 +51,9 @@ _DA_STEP3 = sorted(["ig", "lig", "elig", "els"], key=len, reverse=True)
 
 
 def _da_step2(w: str, r1: int) -> str:
-    if len(w) >= r1 + 1 and w[-2:] in ("gd", "dt", "gt", "kt") and len(w) - 2 >= r1 - 1:
-        # spec: test for the cluster inside R1 (the last char in R1)
-        if len(w) - 1 >= r1:
-            return w[:-1]
+    # the whole cluster must sit inside R1 (setlimit tomark p1)
+    if w[-2:] in ("gd", "dt", "gt", "kt") and len(w) - 2 >= r1:
+        return w[:-1]
     return w
 
 
@@ -77,7 +76,7 @@ def danish_stem(word: str) -> str:
     # step 3
     if w.endswith("igst"):
         w = w[:-2]
-    if w.endswith("løst") and len(w) - 1 >= r1:
+    if w.endswith("løst") and len(w) - 4 >= r1:
         w = w[:-1]
     else:
         suf = _longest_in_r1(w, r1, _DA_STEP3)
@@ -107,6 +106,7 @@ _NO_STEP1 = sorted(
     reverse=True,
 )
 _NO_S_ENDING = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP1_ALL = sorted(_NO_STEP1 + ["erte", "ert", "s"], key=len, reverse=True)
 _NO_STEP3 = sorted(
     ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
      "slov", "hetslov"],
@@ -121,27 +121,22 @@ def norwegian_stem(word: str) -> str:
         return w
     r1 = _r1(w, _NO_VOWELS)
 
-    # step 1 (erte/ert checked first at their lengths via longest-match)
-    handled = False
-    for suf in ("erte", "ert"):
-        if w.endswith(suf) and len(w) - len(suf) >= r1:
-            w = w[: -len(suf)] + "er"
-            handled = True
-            break
-    if not handled:
-        suf = _longest_in_r1(w, r1, _NO_STEP1)
-        if suf:
-            w = w[: -len(suf)]
-        elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2:
-            prev = w[-2]
-            # valid s-ending: the consonants, or k not preceded by a vowel
-            if prev in _NO_S_ENDING or (
-                prev == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS)
-            ):
-                w = w[:-1]
+    # step 1: one limit-mode among; 'erte'/'ert' map to 'er', bare 's'
+    # needs a valid s-ending (or k after a non-vowel)
+    suf = _longest_in_r1(w, r1, _NO_STEP1_ALL)
+    if suf in ("erte", "ert"):
+        w = w[: -len(suf)] + "er"
+    elif suf == "s":
+        prev = w[-2] if len(w) >= 2 else ""
+        if prev in _NO_S_ENDING or (
+            prev == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS)
+        ):
+            w = w[:-1]
+    elif suf:
+        w = w[: -len(suf)]
 
-    # step 2: dt / vt -> drop t
-    if w[-2:] in ("dt", "vt") and len(w) - 1 >= r1:
+    # step 2: dt / vt -> drop t (whole pair inside R1)
+    if w[-2:] in ("dt", "vt") and len(w) - 2 >= r1:
         w = w[:-1]
 
     # step 3
@@ -163,6 +158,7 @@ _SV_STEP1 = sorted(
     reverse=True,
 )
 _SV_S_ENDING = frozenset("bcdfghjklmnoprtvy")
+_SV_STEP1_ALL = sorted(_SV_STEP1 + ["s"], key=len, reverse=True)
 _SV_STEP2_CLUSTERS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
 
 
@@ -172,25 +168,26 @@ def swedish_stem(word: str) -> str:
         return w
     r1 = _r1(w, _SV_VOWELS)
 
-    # step 1
-    suf = _longest_in_r1(w, r1, _SV_STEP1)
-    if suf:
+    # step 1: limit-mode among incl. the conditioned bare 's'
+    suf = _longest_in_r1(w, r1, _SV_STEP1_ALL)
+    if suf == "s":
+        if len(w) >= 2 and w[-2] in _SV_S_ENDING:
+            w = w[:-1]
+    elif suf:
         w = w[: -len(suf)]
-    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] in _SV_S_ENDING:
+
+    # step 2: drop the final letter of a double cluster inside R1
+    if w[-2:] in _SV_STEP2_CLUSTERS and len(w) - 2 >= r1:
         w = w[:-1]
 
-    # step 2
-    if w[-2:] in _SV_STEP2_CLUSTERS and len(w) - 1 >= r1:
-        w = w[:-1]
-
-    # step 3
-    if w.endswith("löst") and len(w) - 1 >= r1:
-        w = w[:-1]
-    elif w.endswith("fullt") and len(w) - 1 >= r1:
-        w = w[:-1]
-    else:
-        for suf in ("lig", "els", "ig"):
-            if w.endswith(suf) and len(w) - len(suf) >= r1:
+    # step 3: limit-mode among: lig/ig/els delete, löst->lös, fullt->full
+    for suf in ("fullt", "löst", "lig", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            if suf == "fullt":
+                w = w[:-1]
+            elif suf == "löst":
+                w = w[:-1]
+            else:
                 w = w[: -len(suf)]
-                break
+            break
     return w
