@@ -48,135 +48,147 @@ _FI_CASES_PLAIN = sorted(
 _FI_ILLATIVE = {"han": "a", "hen": "e", "hin": "i", "hon": "o", "hän": "ä", "hön": "ö"}
 
 
+def _fi_longest(w: str, entries, limit: int):
+    """Longest suffix whose match point is >= limit (setlimit tomark
+    p1/p2 semantics): blocked longer entries yield to shorter ones,
+    but a failed branch CONDITION fails the whole step."""
+    best = None
+    for suf in entries:
+        if w.endswith(suf) and len(w) - len(suf) >= limit:
+            if best is None or len(suf) > len(best):
+                best = suf
+    return best
+
+
+_FI_STEP1 = _FI_PARTICLES + ["sti"]
+_FI_POSS = ["si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en"]
+_FI_CASES_ALL = (
+    ["han", "hen", "hin", "hon", "hän", "hön"]
+    + ["siin", "den", "tten", "seen", "tta", "ttä", "a", "ä", "n"]
+    + _FI_CASES_PLAIN
+)
+_FI_OTHER = ["impi", "impa", "impä", "immi", "imma", "immä",
+             "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "eja", "ejä"]
+
+
+def _fi_case_match(w: str, r1: int):
+    """Longest in-R1 case entry; den/seen/tten/siin carry among
+    condition FUNCTIONS, so when their check fails the search continues
+    with shorter entries (unlike branch conditions)."""
+    cands = sorted(
+        (s for s in _FI_CASES_ALL if w.endswith(s) and len(w) - len(s) >= r1),
+        key=len, reverse=True,
+    )
+    for suf in cands:
+        i = len(w) - len(suf)
+        if suf in ("siin", "den", "tten"):
+            if i >= 2 and w[i - 1] == "i" and w[i - 2] in _FI_VOWELS:
+                return suf
+            continue  # function entry: keep searching shorter
+        if suf == "seen":
+            if i >= 2 and w[i - 2:i] in _FI_LV:
+                return suf
+            continue
+        return suf
+    return None
+
+
 def finnish_stem(word: str) -> str:
     w = word.lower()
-    if len(w) <= 2:
-        return w
     r1, r2 = _fi_regions(w)
 
-    def in_r1(p):
-        return p >= r1
-
-    def in_r2(p):
-        return p >= r2
-
-    # Step 1: particles
-    for suf in _FI_PARTICLES:
-        i = len(w) - len(suf)
-        if w.endswith(suf) and in_r1(i) and i >= 1 and w[i - 1] in "ntaeiouyäö":
-            w = w[:i]
-            break
-    else:
-        if w.endswith("sti") and in_r2(len(w) - 3):
+    # Step 1: particles (preceded by n/t/vowel) or -sti (R2)
+    suf = _fi_longest(w, _FI_STEP1, r1)
+    if suf == "sti":
+        if len(w) - 3 >= r2:
             w = w[:-3]
+    elif suf is not None:
+        i = len(w) - len(suf)
+        if i >= 1 and w[i - 1] in "ntaeiouyäö":
+            w = w[:i]
 
     # Step 2: possessives
-    if w.endswith("si") and in_r1(len(w) - 2):
+    suf = _fi_longest(w, _FI_POSS, r1)
+    if suf == "si":
         if len(w) < 3 or w[-3] != "k":
             w = w[:-2]
-    elif w.endswith("ni") and in_r1(len(w) - 2):
+    elif suf == "ni":
         w = w[:-2]
         if w.endswith("kse"):
             w = w[:-1] + "i"
-    elif w.endswith(("nsa", "nsä", "mme", "nne")) and in_r1(len(w) - 3):
+    elif suf in ("nsa", "nsä", "mme", "nne"):
         w = w[:-3]
-    elif w.endswith("an") and in_r1(len(w) - 2):
-        base = w[:-2]
-        if base.endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
-            w = base
-    elif w.endswith("än") and in_r1(len(w) - 2):
-        base = w[:-2]
-        if base.endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
-            w = base
-    elif w.endswith("en") and in_r1(len(w) - 2):
-        base = w[:-2]
-        if base.endswith(("lle", "ine")):
-            w = base
+    elif suf == "an":
+        if w[:-2].endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+            w = w[:-2]
+    elif suf == "än":
+        if w[:-2].endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+            w = w[:-2]
+    elif suf == "en":
+        if w[:-2].endswith(("lle", "ine")):
+            w = w[:-2]
 
-    # Step 3: cases
+    # Step 3: case endings (one limit-mode among, per-entry conditions)
     step3_removed = False
-    for suf, v in _FI_ILLATIVE.items():
+    suf = _fi_case_match(w, r1)
+    if suf is not None:
         i = len(w) - len(suf)
-        if w.endswith(suf) and in_r1(i) and i >= 1 and w[i - 1] == v:
-            w = w[:i]
-            step3_removed = True
-            break
-    if not step3_removed:
-        if w.endswith(("siin", "tten", "den")):
-            suf = next(s for s in ("siin", "tten", "den") if w.endswith(s))
-            i = len(w) - len(suf)
-            if in_r1(i) and i >= 2 and w[i - 1] == "i" and w[i - 2] in _FI_VOWELS:
-                w = w[:i]
-                step3_removed = True
-        elif w.endswith("seen"):
-            i = len(w) - 4
-            if in_r1(i) and i >= 2 and w[i - 2 : i] in _FI_LV:
-                w = w[:i]
-                step3_removed = True
-        elif w.endswith(("tta", "ttä")):
-            i = len(w) - 3
-            if in_r1(i) and i >= 1 and w[i - 1] == "e":
-                w = w[:i]
-                step3_removed = True
-        else:
-            for suf in _FI_CASES_PLAIN:
-                i = len(w) - len(suf)
-                if w.endswith(suf) and in_r1(i):
-                    w = w[:i]
-                    step3_removed = True
-                    break
-            else:
-                if w.endswith(("a", "ä")) and in_r1(len(w) - 1):
-                    i = len(w) - 1
-                    if i >= 2 and w[i - 1] in _FI_VOWELS and w[i - 2] not in _FI_VOWELS:
-                        w = w[:i]
-                        step3_removed = True
-                elif w.endswith("n") and in_r1(len(w) - 1):
-                    w = w[:-1]
-                    step3_removed = True
-                    if w[-2:] in _FI_LV or w.endswith("ie"):
-                        w = w[:-1]
+        if suf in _FI_ILLATIVE:
+            if i >= 1 and w[i - 1] == _FI_ILLATIVE[suf]:
+                w, step3_removed = w[:i], True
+        elif suf in ("siin", "den", "tten", "seen"):
+            w, step3_removed = w[:i], True
+        elif suf in ("tta", "ttä"):
+            if i >= 1 and w[i - 1] == "e":
+                w, step3_removed = w[:i], True
+        elif suf in ("a", "ä"):
+            # preceded by cons + vowel (cv)
+            if i >= 2 and w[i - 1] in _FI_VOWELS and w[i - 2] not in _FI_VOWELS:
+                w, step3_removed = w[:i], True
+        elif suf == "n":
+            w, step3_removed = w[:-1], True
+            if w[-2:] == "ie" or w[-2:] in _FI_LV:
+                w = w[:-1]
+        else:  # plain case suffixes
+            w, step3_removed = w[:i], True
 
-    # Step 4: comparatives etc. in R2
-    if w.endswith(("impi", "impa", "impä", "immi", "imma", "immä")):
-        if in_r2(len(w) - 4):
-            w = w[:-4]
-    elif w.endswith(("mpi", "mpa", "mpä", "mmi", "mma", "mmä")):
-        i = len(w) - 3
-        if in_r2(i) and not w[:i].endswith("po"):
+    # Step 4: comparatives/other in R2 (limit-mode)
+    suf = _fi_longest(w, _FI_OTHER, r2)
+    if suf is not None:
+        i = len(w) - len(suf)
+        if suf.startswith(("mp", "mm")):
+            if not w[:i].endswith("po"):
+                w = w[:i]
+        else:
             w = w[:i]
-    elif w.endswith(("eja", "ejä")) and in_r2(len(w) - 3):
-        w = w[:-3]
 
     # Step 5: plurals
     if step3_removed:
-        if w and w[-1] in "ij" and in_r1(len(w) - 1):
+        if w and w[-1] in "ij" and len(w) - 1 >= r1:
             w = w[:-1]
     else:
-        if w.endswith("t") and in_r1(len(w) - 1) and len(w) >= 2 and w[-2] in _FI_VOWELS:
+        if w.endswith("t") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] in _FI_VOWELS:
             w = w[:-1]
-            if w.endswith("imma") and in_r2(len(w) - 4):
+            suf = _fi_longest(w, ["imma", "mma"], r2)
+            if suf == "imma":
                 w = w[:-4]
-            elif w.endswith("mma") and in_r2(len(w) - 3) and not w[:-3].endswith("po"):
+            elif suf == "mma" and not w[:-3].endswith("po"):
                 w = w[:-3]
 
     # Step 6: tidy
-    if len(w) >= 2 and w[-2:] in _FI_LV and in_r1(len(w) - 1):
+    if len(w) >= 2 and w[-2:] in _FI_LV and len(w) - 1 >= r1:
         w = w[:-1]
-    if (
-        len(w) >= 2
-        and w[-1] in "aäei"
-        and w[-2] not in _FI_VOWELS
-        and in_r1(len(w) - 1)
-    ):
+    # final a/ä/e/i after a consonant; the setlimit applies to the
+    # consonant test too, so that char must itself sit in R1
+    if (w and w[-1] in "aäei" and len(w) >= 2
+            and w[-2] not in _FI_VOWELS and len(w) - 2 >= r1):
         w = w[:-1]
-    if w.endswith(("oj", "uj")):
+    if w.endswith(("oj", "uj")) and len(w) - 2 >= r1:
         w = w[:-1]
-    if w.endswith("jo"):
+    if w.endswith("jo") and len(w) - 2 >= r1:
         w = w[:-1]
-    # undouble final consonant before trailing vowels
-    m = len(w)
-    i = m
+    # undouble a final double consonant (even before trailing vowels)
+    i = len(w)
     while i > 0 and w[i - 1] in _FI_VOWELS:
         i -= 1
     if i >= 2 and w[i - 1] == w[i - 2] and w[i - 1] not in _FI_VOWELS:
@@ -222,8 +234,9 @@ _HU_CASE_OTHER = (
     ("astul", ""), ("estül", ""), ("stul", ""), ("stül", ""),
 )
 _HU_OWNED = (
-    ("áké", "a"), ("éké", "e"), ("ájé", "a"), ("éjé", "e"),
-    ("aké", ""), ("eké", ""), ("oké", ""), ("öké", ""), ("jé", ""),
+    ("áéi", "a"), ("ééi", "e"), ("éi", ""),
+    ("áké", "a"), ("éké", "e"),
+    ("aké", ""), ("eké", ""), ("oké", ""), ("öké", ""),
     ("ké", ""), ("éé", "e"), ("é", ""),
 )
 _HU_SING_OWNER = (
@@ -233,7 +246,7 @@ _HU_SING_OWNER = (
     ("ám", "a"), ("ém", "e"), ("am", ""), ("em", ""), ("om", ""), ("m", ""),
     ("ád", "a"), ("éd", "e"), ("ad", ""), ("ed", ""), ("od", ""),
     ("öd", ""), ("d", ""),
-    ("ája", "a"), ("éje", "e"), ("ja", ""), ("je", ""),
+    ("ja", ""), ("je", ""),
     ("a", ""), ("e", ""), ("o", ""), ("á", "a"), ("é", "e"),
 )
 _HU_PLUR_OWNER = (
@@ -279,12 +292,19 @@ def _hu_r1(w: str) -> int:
 
 
 def _hu_apply(w: str, r1: int, table) -> tuple[str, bool]:
-    """Longest-match removal/replacement from a (suffix, repl) table,
-    conditioned on the match point lying in R1."""
-    for suf, repl in sorted(table, key=lambda t: len(t[0]), reverse=True):
-        i = len(w) - len(suf)
-        if w.endswith(suf) and i >= r1:
-            return w[:i] + repl, True
+    """Among commit semantics: the longest matching suffix is chosen
+    FIRST; if its match point is outside R1 the whole step fails (no
+    shorter entry is retried)."""
+    best = None
+    for suf, repl in table:
+        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, repl)
+    if best is None:
+        return w, False
+    suf, repl = best
+    i = len(w) - len(suf)
+    if i >= r1:
+        return w[:i] + repl, True
     return w, False
 
 
@@ -323,13 +343,13 @@ def hungarian_stem(word: str) -> str:
     w2, hit = _hu_apply(w, r1, [(s, "") for s in _HU_CASES])
     if hit:
         w = _hu_v_ending(w2, r1)
-    else:
-        # 3./4. special and 'stul' cases
-        for table in (_HU_CASE_SPECIAL, _HU_CASE_OTHER):
-            w2, hit = _hu_apply(w, r1, table)
-            if hit:
-                w = w2
-                break
+    # 3./4. special and 'stul' cases run regardless (each step is a
+    # separate `do` in the published program)
+    for table in (_HU_CASE_SPECIAL, _HU_CASE_OTHER):
+        w2, hit = _hu_apply(w, r1, table)
+        if hit:
+            w = w2
+            break
 
     # 5. factive case: -á/-é after a double consonant; undouble
     for suf in ("á", "é"):
