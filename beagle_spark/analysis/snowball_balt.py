@@ -36,117 +36,57 @@ _LT_VOWELS = frozenset("aeiyouąęėįųū")
 
 # step1: nominal endings by declension (published program's table;
 # longest-match). Comments name the paradigm word as the program does.
-_LT_STEP1 = sorted(
-    [
-        # I declension (vyras, kelias, brolis, gaidys)
-        "as", "ias", "is", "ys",          # nom sg
-        "o", "io",                        # gen sg
-        "ui", "iui",                      # dat sg
-        "ą", "ią", "į",                   # acc sg
-        "u", "iu",                        # ins sg
-        "e", "yje",                       # loc sg (vyre, kelyje)
-        "y", "au", "i",                   # voc sg (kely, brolau, broli)
-        "an",                             # illative sg
-        "ai", "iai",                      # nom pl
-        "ų", "ių",                        # gen pl
-        "ams", "am", "iams", "iam",       # dat pl
-        "us", "ius",                      # acc pl
-        "ais", "iais",                    # ins pl
-        "uose", "iuose", "uos", "iuos",   # loc pl
-        "uosna", "iuosna", "ysna",        # illative pl
-        # reflexive nouns (sukimasis, sukimosi, ...)
-        "asis", "aisi", "osi", "ųsi", "uisi", "ąsi", "usi", "esi",
-        # II declension (ranka, valia, marti)
-        "a", "ia",
-        "os", "ios",                      # gen sg / nom pl
-        "oje", "ioje",                    # loc sg
-        "osna", "iosna",                  # illative pl
-        "oms", "ioms",                    # dat pl
-        "as", "ias",                      # acc pl
-        "omis", "iomis",                  # ins pl
-        "ose", "iose",                    # loc pl
-        # III declension (katė)
-        "ė", "ės", "ei", "ę", "ėje",
-        "ėms", "es", "ėmis", "ėse", "ėsna",
-        # IV declension (sūnus, žmogus)
-        "aus", "iaus", "umi", "iumi", "uje", "ūs", "iūs", "ums", "umis",
-        # V declension (vanduo, akmuo) + irregulars
-        "uo", "ens", "enio", "eniui", "enį", "eniu", "enyje",
-        "enys", "enų", "enims", "enis", "enimis", "enyse",
-        # adjectival / pronominal ("įvardžiuotinės") forms
-        "ojo", "iojo", "ajam", "iajam", "ąjį", "įjį", "uoju", "iuoju",
-        "ajame", "iajame", "ieji", "iųjų", "iesiems", "uosius",
-        "iaisiais", "uosiuose",
-        "oji", "osios", "ajai", "iajai", "ąją", "iąją", "ąja", "iąja",
-        "ojoje", "iojoje", "osioms", "ąsias", "osiomis", "osiose",
-    ],
-    key=len,
-    reverse=True,
-)
+from .snowball_tables import LT_STEP1, LT_STEP2
 
-# Verb endings (present/past/frequentative/future/conditional/
-# imperative/infinitive/participial). They join the step1 among (the
-# published program's single longest-match table spans nouns,
-# adjectives AND verbs — that is what lets 'dirbame' shed 'ame' rather
-# than the shorter locative 'e'), and step2 REPEATs them for stacked
-# morphology (frequentative 'dav', reflexive 'si', ...).
-_LT_VERB = [
-    # present
-    "ame", "iame", "ate", "iate", "ome", "ote", "ime", "ite",
-    "a", "ia", "o", "i", "u", "iu",
-    # past & frequentative past
-    "au", "ai", "ė", "ėme", "ėte", "iau",
-    "davau", "davai", "davo", "davome", "davote", "dav",
-    # future
-    "siu", "sime", "site", "s",
-    # conditional
-    "čiau", "tum", "tume", "tumėte", "tų",
-    # imperative
-    "k", "kite", "kime", "kim",
-    # infinitive & reflexive
-    "ti", "tis", "si",
-    # participles
-    "damas", "dama", "dami", "damos",
-    "antis", "anti", "ančio", "intis", "ęs", "ąs",
-]
-_LT_STEP2 = sorted(set(_LT_VERB), key=len, reverse=True)
-# The published program's step1 among spans the nominal AND verbal
-# tables in one longest-match.
-_LT_STEP1_ALL = sorted(set(_LT_STEP1) | set(_LT_VERB), key=len, reverse=True)
-
-# fix_conflicts: feminine-diminutive restoration — vocative/accusative
-# -aite/-aitę etc. restore the nominative-stem ė so they collapse with
-# it under step1's ė-removal (published program's conflict table).
+# fix_conflicts: restore nominative stems so vocative/diminutive forms
+# collapse (exact table from lithuanian.sbl)
 _LT_CONFLICTS = [
-    ("aitę", "aitė"), ("aite", "aitė"),
-    ("utę", "utė"), ("ute", "utė"),
-    ("ytę", "ytė"), ("yte", "ytė"),
+    ("okatės", "okatė"), ("okate", "okatė"),
+    ("aitės", "aitė"), ("aite", "aitė"),
+    ("uotės", "uotė"), ("uote", "uotė"),
+    ("ėjime", "ėjimas"), ("ojime", "ojimas"), ("avime", "avimas"),
+    ("esiu", "esys"), ("asius", "asys"),
 ]
 
 
 def _lt_r1(w: str) -> int:
-    for i in range(1, len(w)):
-        if w[i] not in _LT_VOWELS and w[i - 1] in _LT_VOWELS:
-            return i + 1
-    return len(w)
+    # words starting with 'a' longer than 6 letters mark R1 from
+    # position 1 (the published program's `'a' $(len > 6) hop 1`)
+    start = 1 if (w.startswith("a") and len(w) > 6) else 0
+    i = start
+    n = len(w)
+    while i < n and w[i] not in _LT_VOWELS:
+        i += 1
+    i += 1  # past the vowel
+    while i < n and w[i] in _LT_VOWELS:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1
+
+
+def _lt_find(w: str, among, limit: int):
+    lens, by_len = among
+    n = len(w)
+    for ln in lens:
+        if ln > n - limit:
+            continue
+        if by_len[ln].get(w[n - ln:]) is not None:
+            return w[n - ln:]
+    return None
 
 
 def lithuanian_stem(word: str) -> str:
     w = word.lower()
-    if len(w) <= 3:
-        return w
     r1 = _lt_r1(w)
 
-    def in_r1(suf: str) -> bool:
-        # Snowball `backwards setlimit tomark p1`: the candidate suffix
-        # must lie entirely within R1, and removal keeps >= 3 chars.
-        return len(w) - len(suf) >= max(r1, 3)
-
-    # fix_conflicts
+    # fix_conflicts (longest match, whole word scope)
+    best = None
     for suf, rep in _LT_CONFLICTS:
-        if w.endswith(suf) and in_r1(suf):
-            w = w[: -len(suf)] + rep
-            break
+        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, rep)
+    if best is not None:
+        w = w[: -len(best[0])] + best[1]
 
     def fix_chdz(s: str) -> str:
         if s.endswith("č"):
@@ -155,25 +95,21 @@ def lithuanian_stem(word: str) -> str:
             return s[:-2] + "d"
         return s
 
-    # step1: one longest-match removal over the combined table
-    for suf in _LT_STEP1_ALL:
-        if w.endswith(suf) and in_r1(suf):
-            w = w[: -len(suf)]
+    # step1: one R1-limited longest-match removal
+    suf = _lt_find(w, LT_STEP1, r1)
+    if suf is not None:
+        w = w[: -len(suf)]
+    w = fix_chdz(w)
+
+    # step2: repeated R1-limited longest-match removal
+    while True:
+        suf = _lt_find(w, LT_STEP2, r1)
+        if suf is None:
             break
+        w = w[: -len(suf)]
     w = fix_chdz(w)
 
-    # step2: repeat verb-ending removal to a fixpoint
-    changed = True
-    while changed:
-        changed = False
-        for suf in _LT_STEP2:
-            if w.endswith(suf) and in_r1(suf):
-                w = w[: -len(suf)]
-                changed = True
-                break
-    w = fix_chdz(w)
-
-    if w.endswith("gd") and len(w) - 1 >= max(r1, 3):
+    if w.endswith("gd"):
         w = w[:-1]
 
     return w
