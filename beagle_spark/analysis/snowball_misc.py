@@ -47,129 +47,437 @@ from .snowball_tables import (
 )
 
 # ---------------------------------------------------------------------------
-# Turkish — Çilden's algorithm as published for Snowball
-# (snowballstem.org/algorithms/turkish/stemmer.html): multi-syllable
-# guard, nominal-verb suffix chain then noun-suffix loop, suffix
-# templates with two-dimensional vowel harmony (A-type frontness,
-# I-type frontness+roundedness) validated at the stem boundary,
-# buffer-consonant (y) allowed only after a vowel, and final-consonant
-# devoicing reversal (b/c/d/ğ -> p/ç/t/k).
+# Turkish — the published Snowball program (turkish.sbl, Çilden):
+# multi-syllable guard, backward nominal-verb suffix machine then the
+# noun-suffix machine (with the ki-chain), each mark routine pairing a
+# suffix set with the two-vowel harmony check and optional buffer
+# letters; finally last-consonant devoicing and the d/g vowel append.
 # ---------------------------------------------------------------------------
 _TR_VOWELS = frozenset("aeıioöuü")
-
-# template metachars: A -> a/e (frontness harmony); I -> ı/i/u/ü (full
-# harmony); D -> d/t; parenthesized leading letter = optional buffer
-# consonant, valid only after a vowel
-_TR_HARMONY_PREV = {
-    "a": "aıou", "e": "eiöü",           # A-type: frontness only
-    "ı": "aı", "i": "ei", "u": "ou", "ü": "öü",  # I-type: + roundedness
+_TR_HARMONY = {
+    "a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+    "o": "ou", "ö": "öü", "u": "ou", "ü": "öü",
 }
 
 
-def _tr_expand(template: str):
-    """Expand a suffix template into (concrete_suffix, optional_buffer)
-    pairs, keeping only internally-harmonic expansions."""
-    buffer = ""
-    if template.startswith("("):
-        buffer, template = template[1], template[3:]
-    forms = [""]
-    for ch in template:
-        if ch == "A":
-            forms = [f + v for f in forms for v in "ae"]
-        elif ch == "I":
-            forms = [f + v for f in forms for v in "ıiuü"]
-        elif ch == "D":
-            forms = [f + c for f in forms for c in "dt"]
-        else:
-            forms = [f + ch for f in forms]
-
-    def harmonic(s: str) -> bool:
-        vs = [c for c in s if c in _TR_VOWELS]
-        return all(
-            vs[i] in _TR_HARMONY_PREV and vs[i - 1] in _TR_HARMONY_PREV[vs[i]]
-            for i in range(1, len(vs))
-        )
-
-    return [(f, buffer) for f in forms if harmonic(f)]
+def _tr_harmony(w: str) -> bool:
+    """check_vowel_harmony: the word's last vowel must be preceded —
+    at ANY distance (the published goto semantics) — by a vowel from
+    its harmony set."""
+    v1 = None
+    i = len(w) - 1
+    while i >= 0:
+        if w[i] in _TR_VOWELS:
+            v1 = w[i]
+            break
+        i -= 1
+    if v1 is None:
+        return False
+    allowed = _TR_HARMONY[v1]
+    i -= 1
+    while i >= 0:
+        if w[i] in allowed:
+            return True
+        i -= 1
+    return False
 
 
-def _tr_concrete(templates):
-    out = []
-    for t in templates:
-        for form, buf in _tr_expand(t):
-            out.append((form, None))
-            if buf:
-                out.append((buf + form, buf))
-    # longest first so e.g. 'lArI' wins over 'I'
-    return sorted(set(out), key=lambda p: len(p[0]), reverse=True)
-
-
-# nominal verb suffixes (stemmed first, per the published ordering;
-# they stack at the absolute word end: -mIş-sInIz etc.)
-_TR_NOMVERB = _tr_concrete([
-    "cAsInA", "sInIz", "(y)mIş", "(y)ken",
-    "(y)DI", "(y)sA", "(y)Iz", "(y)Im", "sIn", "DIr", "nIz",
-])
-# noun suffixes in morphotactic phases: a Turkish noun is
-# stem+plural+possessive+case(+ki), so stripping right-to-left applies
-# each phase AT MOST ONCE — an unrestricted loop overstems (e.g. it
-# would take arabaya -> araba -> arab via a second bare-vowel pass)
-_TR_KI = _tr_concrete(["ki"])
-_TR_CASE = _tr_concrete([
-    "(n)DA", "(n)DAn", "(y)A", "(y)I", "(n)In", "(y)lA", "(n)cA",
-])
-_TR_POSS = _tr_concrete(["lArI", "ImIz", "InIz", "Im", "In", "(s)I"])
-_TR_PLURAL = _tr_concrete(["lAr"])
-
-
-def _tr_last_vowel(s: str):
-    for c in reversed(s):
-        if c in _TR_VOWELS:
-            return c
+def _tr_mark(w, sufs, harmony=True, buf=None):
+    """Try a mark routine: returns the number of chars matched at the
+    end of w, or None. `buf` handles the optional buffer letters:
+    'y'/'n'/'s' consonants (valid only after a vowel; without the
+    buffer the suffix must follow a non-vowel), 'U' vowel (valid only
+    after a consonant; without it the core must follow a vowel)."""
+    if harmony and not _tr_harmony(w):
+        return None
+    m = None
+    for suf in sufs:
+        if w.endswith(suf) and (m is None or len(suf) > len(m)):
+            m = suf
+    if m is None:
+        return None
+    n = len(m)
+    rest = w[: len(w) - n]
+    if buf is None:
+        return n
+    if buf == "U":
+        # ('U' test non-v) or (next test non-v)
+        if rest and rest[-1] in "ıiuü" and len(rest) >= 2 and rest[-2] not in _TR_VOWELS:
+            return n + 1
+        if len(rest) >= 2 and rest[-2] not in _TR_VOWELS:
+            return n
+        return None
+    if buf == "V":
+        # n-initial case suffixes: the n plays the buffer role, so a
+        # vowel must precede it and a consonant precede that vowel
+        if len(rest) >= 2 and rest[-1] in _TR_VOWELS and rest[-2] not in _TR_VOWELS:
+            return n
+        return None
+    if buf == "ki":
+        if rest and (rest[-1] in _TR_VOWELS or rest[-1] == "n"):
+            return n
+        return None
+    if buf == "s_opt":
+        # ('s' test vowel) or no condition
+        if rest.endswith("s") and len(rest) >= 2 and rest[-2] in _TR_VOWELS:
+            return n + 1
+        return n
+    # consonant buffers y/n/s: ('X' test vowel) or (next test vowel)
+    if rest.endswith(buf):
+        if len(rest) >= 2 and rest[-2] in _TR_VOWELS:
+            return n + 1
+        return None
+    if len(rest) >= 2 and rest[-2] in _TR_VOWELS:
+        return n
     return None
 
 
-def _tr_strip(w: str, table) -> tuple[str, bool]:
-    for suf, buf in table:
-        if not w.endswith(suf):
-            continue
-        stem = w[: -len(suf)]
-        if len(stem) < 2 or not any(c in _TR_VOWELS for c in stem):
-            continue
-        # buffer consonant (y/n/s) only follows a vowel-final stem
-        if buf and (not stem or stem[-1] not in _TR_VOWELS):
-            continue
-        # boundary vowel harmony: first suffix vowel vs last stem vowel
-        sv = next((c for c in suf if c in _TR_VOWELS), None)
-        pv = _tr_last_vowel(stem)
-        if sv and pv and sv in _TR_HARMONY_PREV and pv not in _TR_HARMONY_PREV[sv]:
-            continue
-        return stem, True
-    return w, False
+# mark routines: (suffixes, harmony, buffer)
+_TR_MARKS = {
+    "lAr": (("lar", "ler"), True, None),
+    "ncA": (("ca", "ce"), True, "n"),
+    "ndA": (("nda", "nde"), True, "V"),
+    "nA": (("na", "ne"), True, "V"),
+    "ndAn": (("ndan", "nden"), True, "V"),
+    "nU": (("nı", "ni", "nu", "nü"), True, "V"),
+    "nUn": (("ın", "in", "un", "ün"), True, "n"),
+    "nUz": (("nız", "niz", "nuz", "nüz"), True, "V"),
+    "DA": (("da", "de", "ta", "te"), True, None),
+    "DAn": (("dan", "den", "tan", "ten"), True, None),
+    "DUr": (("dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür"), True, None),
+    "lArI": (("ları", "leri"), False, None),
+    "sU": (("ı", "i", "u", "ü"), True, "s"),
+    "sU_cont": (("ı", "i", "u", "ü"), False, "s_opt"),
+    "sUn": (("sın", "sin", "sun", "sün"), True, None),
+    "sUnUz": (("sınız", "siniz", "sunuz", "sünüz"), True, None),
+    "possessives": (("mız", "miz", "muz", "müz", "nız", "niz", "nuz", "nüz",
+                     "m", "n"), False, "U"),
+    "yA": (("a", "e"), True, "y"),
+    "ylA": (("la", "le"), True, "y"),
+    "yU": (("ı", "i", "u", "ü"), True, "y"),
+    "yUm": (("ım", "im", "um", "üm"), True, "y"),
+    "yUz": (("ız", "iz", "uz", "üz"), True, "y"),
+    "yDU": (tuple(d + v for d in "dt" for v in "ıiuü")
+            + tuple(d + v + c for d in "dt" for v in "ıiuü" for c in "kmn"),
+            True, "y"),
+    "ysA": (("sa", "se", "sak", "sek", "sam", "sem", "san", "sen"), False, "y"),
+    "ymUs_": (("mış", "miş", "muş", "müş"), True, "y"),
+    "yken": (("ken",), False, "y"),
+    "ki": (("ki",), False, "ki"),
+    "cAsInA": (("casına", "cesine"), False, None),
+}
+
+
+def _m(w, name):
+    sufs, harmony, buf = _TR_MARKS[name]
+    return _tr_mark(w, sufs, harmony, buf)
+
+
+def _tr_nominal_verb(w: str) -> tuple[str, bool]:
+    """Returns (stemmed word, continue_with_noun_suffixes)."""
+    for name in ("ymUs_", "yDU", "ysA", "yken"):
+        n = _m(w, name)
+        if n:
+            return w[:-n], True
+    n = _m(w, "cAsInA")
+    if n:
+        w2 = w[:-n]
+        hit = False
+        for name in ("sUnUz", "lAr", "yUm", "sUn", "yUz"):
+            k = _m(w2, name)
+            if k:
+                w2, hit = w2[:-k], True
+                break
+        if hit:
+            k = _m(w2, "ymUs_")
+            if k:
+                w2 = w2[:-k]
+            return w2, True
+        # bare -cAsInA: this alternative fails, later steps see w
+    n = _m(w, "lAr")
+    if n:
+        w2 = w[:-n]
+        for name in ("DUr", "yDU", "ysA", "ymUs_"):
+            k = _m(w2, name)
+            if k:
+                w2 = w2[:-k]
+                break
+        return w2, None  # -lAr verb chain: no noun step, no postlude
+    n = _m(w, "nUz")
+    if n:
+        w2 = w[:-n]
+        for name in ("yDU", "ysA"):
+            k = _m(w2, name)
+            if k:
+                return w2[:-k], True
+        # nUz requires a following yDU/ysA; otherwise this
+        # alternative fails and later ones see the original word
+    for name in ("sUnUz", "yUz", "sUn", "yUm"):
+        n = _m(w, name)
+        if n:
+            w2 = w[:-n]
+            k = _m(w2, "ymUs_")
+            if k:
+                w2 = w2[:-k]
+            return w2, True
+    n = _m(w, "DUr")
+    if n:
+        w2 = w[:-n]
+        saved = w2
+        for name in ("sUnUz", "lAr", "yUm", "sUn", "yUz"):
+            k = _m(w2, name)
+            if k:
+                w2 = w2[:-k]
+                break
+        k = _m(w2, "ymUs_")
+        if k:
+            w2 = w2[:-k]
+        else:
+            w2 = saved
+        return w2, True
+    return w, True
+
+
+def _tr_ki_chain(w: str):
+    """-ki and its continuations; returns stemmed word or None."""
+    n = _m(w, "ki")
+    if not n:
+        return None
+    w = w[:-n]
+    matched_cont = False
+    k = _m(w, "DA")
+    if k:
+        w2 = w[:-k]
+        j = _m(w2, "lAr")
+        if j:
+            w3 = w2[:-j]
+            cont = _tr_ki_chain(w3)
+            return cont if cont is not None else w3
+        j = _m(w2, "possessives")
+        if j:
+            w3 = w2[:-j]
+            jj = _m(w3, "lAr")
+            if jj:
+                w4 = w3[:-jj]
+                cont = _tr_ki_chain(w4)
+                return cont if cont is not None else w4
+            return w3
+        return w2
+    k = _m(w, "nUn")
+    if k:
+        w2 = w[:-k]
+        j = _m(w2, "lArI")
+        if j:
+            return w2[:-j]
+        j = _m(w2, "possessives")
+        if j:
+            w3 = w2[:-j]
+            jj = _m(w3, "lAr")
+            if jj:
+                w4 = w3[:-jj]
+                cont = _tr_ki_chain(w4)
+                return cont if cont is not None else w4
+            return w3
+        cont = _tr_ki_chain(w2)
+        return cont if cont is not None else w2
+    k = _m(w, "ndA")
+    if k:
+        w2 = w[:-k]
+        j = _m(w2, "lArI")
+        if j:
+            return w2[:-j]
+        j = _m(w2, "sU_cont")
+        if j:
+            w3 = w2[:-j]
+            jj = _m(w3, "lAr")
+            if jj:
+                w4 = w3[:-jj]
+                cont = _tr_ki_chain(w4)
+                return cont if cont is not None else w4
+            return w3
+        return w2
+    # bare -ki with no case continuation: the chain fails entirely
+    return None
+
+
+def _tr_noun_suffixes(w: str) -> str:
+    # alt: plain -lAr (stops)
+    n = _m(w, "lAr")
+    if n:
+        return w[:-n]
+    # alt: -ncA
+    n = _m(w, "ncA")
+    if n:
+        w2 = w[:-n]
+        k = _m(w2, "lArI")
+        if k:
+            return w2[:-k]
+        for name in ("possessives", "sU"):
+            k = _m(w2, name)
+            if k:
+                w3 = w2[:-k]
+                j = _m(w3, "lAr")
+                if j:
+                    w4 = w3[:-j]
+                    cont = _tr_ki_chain(w4)
+                    return cont if cont is not None else w4
+                return w3
+        k = _m(w2, "lAr")
+        if k:
+            w3 = w2[:-k]
+            cont = _tr_ki_chain(w3)
+            return cont if cont is not None else w3
+        return w2
+    # alt: -(n)dA / -(n)A
+    for name in ("ndA", "nA"):
+        n = _m(w, name)
+        if n:
+            w2 = w[:-n]
+            k = _m(w2, "lArI")
+            if k:
+                return w2[:-k]
+            k = _m(w2, "sU_cont")
+            if k:
+                w3 = w2[:-k]
+                j = _m(w3, "lAr")
+                if j:
+                    w4 = w3[:-j]
+                    cont = _tr_ki_chain(w4)
+                    return cont if cont is not None else w4
+                return w3
+            cont = _tr_ki_chain(w2)
+            if cont is not None:
+                return cont
+            return w2
+    # alt: -(n)dAn / -nU
+    for name in ("ndAn", "nU"):
+        n = _m(w, name)
+        if n:
+            w2 = w[:-n]
+            k = _m(w2, "sU_cont")
+            if k:
+                w3 = w2[:-k]
+                j = _m(w3, "lAr")
+                if j:
+                    w4 = w3[:-j]
+                    cont = _tr_ki_chain(w4)
+                    return cont if cont is not None else w4
+                return w3
+            k = _m(w2, "lArI")
+            if k:
+                return w2[:-k]
+            return w2
+    # alt: -DAn
+    n = _m(w, "DAn")
+    if n:
+        w2 = w[:-n]
+        k = _m(w2, "possessives")
+        if k:
+            w3 = w2[:-k]
+            j = _m(w3, "lAr")
+            if j:
+                w4 = w3[:-j]
+                cont = _tr_ki_chain(w4)
+                return cont if cont is not None else w4
+            return w3
+        k = _m(w2, "lAr")
+        if k:
+            w3 = w2[:-k]
+            cont = _tr_ki_chain(w3)
+            return cont if cont is not None else w3
+        cont = _tr_ki_chain(w2)
+        if cont is not None:
+            return cont
+        return w2
+    # alt: -(n)Un / -ylA
+    for name in ("nUn", "ylA"):
+        n = _m(w, name)
+        if n:
+            w2 = w[:-n]
+            k = _m(w2, "lAr")
+            if k:
+                w3 = w2[:-k]
+                cont = _tr_ki_chain(w3)
+                if cont is not None:
+                    return cont
+                j = _m(w3, "sU_cont")
+                if j:
+                    return w3[:-j]
+                return w3
+            for nm in ("possessives", "sU"):
+                k = _m(w2, nm)
+                if k:
+                    w3 = w2[:-k]
+                    j = _m(w3, "lAr")
+                    if j:
+                        w4 = w3[:-j]
+                        cont = _tr_ki_chain(w4)
+                        return cont if cont is not None else w4
+                    return w3
+            cont = _tr_ki_chain(w2)
+            if cont is not None:
+                return cont
+            return w2
+    # alt: -lArI
+    n = _m(w, "lArI")
+    if n:
+        return w[:-n]
+    # alt: ki chain directly
+    cont = _tr_ki_chain(w)
+    if cont is not None:
+        return cont
+    # alt: -DA / -yU / -sU / -yA
+    for name in ("DA", "yU", "sU", "yA"):
+        n = _m(w, name)
+        if n:
+            w2 = w[:-n]
+            k = _m(w2, "possessives")
+            if k:
+                w3 = w2[:-k]
+                j = _m(w3, "lAr")
+                if j:
+                    w4 = w3[:-j]
+                    cont = _tr_ki_chain(w4)
+                    return cont if cont is not None else w4
+                return w3
+            k = _m(w2, "lAr")
+            if k:
+                w3 = w2[:-k]
+                cont = _tr_ki_chain(w3)
+                return cont if cont is not None else w3
+            return w2
+    # alt: bare possessives
+    n = _m(w, "possessives")
+    if n:
+        w2 = w[:-n]
+        k = _m(w2, "lAr")
+        if k:
+            w3 = w2[:-k]
+            cont = _tr_ki_chain(w3)
+            return cont if cont is not None else w3
+        return w2
+    return w
 
 
 def turkish_stem(word: str) -> str:
     w = word.lower()
-    # only words of more than one syllable are stemmed
     if sum(1 for c in w if c in _TR_VOWELS) < 2:
         return w
-
-    # 1. nominal verb suffix chain (they stack; bounded loop)
-    for _ in range(3):
-        w, changed = _tr_strip(w, _TR_NOMVERB)
-        if not changed:
-            break
-
-    # 2. noun suffixes, one pass per morphotactic phase
-    w, ki = _tr_strip(w, _TR_KI)
-    w, _ = _tr_strip(w, _TR_CASE)
-    if ki:  # evdeki: ki follows a case suffix -> one more case pass
-        w, _ = _tr_strip(w, _TR_CASE)
-    w, _ = _tr_strip(w, _TR_POSS)
-    w, _ = _tr_strip(w, _TR_PLURAL)
-
-    # 3. final devoicing reversal (b/c/d/ğ arise before vowel suffixes)
-    if w and w[-1] in "bcdğ":
+    w2, cont = _tr_nominal_verb(w)
+    w = w2
+    if cont is None:  # verb -lAr branch skips everything downstream
+        return w
+    if cont:
+        w = _tr_noun_suffixes(w)
+    # post-process: d/g vowel append first, then final devoicing
+    if not w:  # a suffix chain consumed the entire word: keep it
+        return word.lower()
+    if w[-1] in "dg":
+        lv = next((c for c in reversed(w) if c in _TR_VOWELS), None)
+        if lv is not None:
+            w += {"a": "ı", "ı": "ı", "e": "i", "i": "i",
+                  "o": "u", "u": "u", "ö": "ü", "ü": "ü"}[lv]
+    if w[-1] in "bcdğ":
         w = w[:-1] + {"b": "p", "c": "ç", "d": "t", "ğ": "k"}[w[-1]]
     return w
 
