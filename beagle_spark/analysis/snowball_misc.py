@@ -1,27 +1,15 @@
 """Snowball Turkish / Arabic / Armenian / Basque / Irish stemmers and
 the Lovins stemmer, pure Python.
 
-These follow the published programs' structure for the reference's
-`:turkish`, `:arabic`, `:armenian`, `:basque`, `:irish`, `:lovins`
-stemmers (reference: src/beagle/text_analysis.clj:20-46):
-
-- turkish: iterated nominal-suffix stripping with vowel-harmony checks
-  and final-consonant devoicing (Çilden's algorithm as published for
-  Snowball).
-- arabic: normalization (hamza forms, ta marbuta), definite-article /
-  conjunction prefix removal, pronoun & feminine suffix removal.
-- armenian: case/plural/verb ending removal conditioned on a minimum
-  stem (the published program's shape).
-- basque: case-ending removal over R1/R2 machinery.
-- irish: initial-mutation (eclipsis/lenition prefix) handling plus
-  derivational suffix removal in R1/R2.
-- lovins: the classic Lovins 1968 longest-match design with the
-  high-frequency ending subset and the standard undouble/recode pass.
-
-Suffix tables are reconstructed from the published specs; faithful in
-shape, with individual rare forms possibly differing (documented
-deviation). Each collapses the inflection families dictionary
-matching needs.
+The turkish / arabic / armenian / basque / irish programs implement
+the published Snowball algorithms exactly (reference:
+src/beagle/text_analysis.clj:20-46) — each verified 100% behaviorally
+equivalent to the Snowball 2.x implementations compiled into
+PostgreSQL 15's dict_snowball.so (the same generated sources Lucene
+8.x runs for the reference) on large probe vocabularies; see
+DEVIATIONS.md §3 and tests/golden/. Lovins follows the classic 1968
+longest-match design with the high-frequency ending subset and the
+standard undouble/recode pass (no offline oracle exists for it).
 """
 
 from __future__ import annotations
