@@ -44,11 +44,23 @@ _ALNUM = r"[[\p{L}\p{M}\p{Nd}]--[\p{Han}\p{Hiragana}\p{Katakana}]]"
 # emoji ZWJ sequences; Extended_Pictographic with variation selectors
 # (FE0F), skin-tone modifiers (1F3FB-1F3FF) and combining marks stays
 # one token — Lucene 8.x StandardTokenizer emits these as <EMOJI>.
+# Text-default pictographs (\u00A9/\u00AE/\u2122/\u3030/\u303D: Emoji_Presentation=No symbols
+# that double as ordinary text) are emoji ONLY with an explicit FE0F
+# presentation selector \u2014 Lucene 8.x drops the bare forms as
+# punctuation, so the standalone branch must not emit them (ADVICE r8).
+_TEXT_DEFAULT_PICTO = "\u00A9\u00AE\u2122\u3030\u303D"
 _EMOJI_UNIT = (
-    r"\p{Extended_Pictographic}[\uFE0F\U0001F3FB-\U0001F3FF\p{Mn}]*"
+    rf"(?:[{_TEXT_DEFAULT_PICTO}]\uFE0F"
+    rf"|[\p{{Extended_Pictographic}}--[{_TEXT_DEFAULT_PICTO}]])"
+    r"[\uFE0F\U0001F3FB-\U0001F3FF\p{Mn}]*"
 )
+# Emoji keycap sequence (UTS#51 ED-20): [0-9#*] + optional FE0F +
+# U+20E3 combining enclosing keycap is ONE token ("1\uFE0F\u20E3") \u2014
+# checked before the alnum branch so the digit isn't split off.
+_KEYCAP = r"[0-9#*]\uFE0F?\u20E3"
 _STANDARD = re.compile(
-    r"\p{Regional_Indicator}{2}"
+    rf"{_KEYCAP}"
+    r"|\p{Regional_Indicator}{2}"
     r"|\p{Regional_Indicator}"
     rf"|{_EMOJI_UNIT}(?:\u200D{_EMOJI_UNIT})*"
     r"|\p{Katakana}+"

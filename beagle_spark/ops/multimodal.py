@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns + typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode kernels themselves are STUBBED (this container has no
-image/audio libraries): `decode_image` raises NotImplementedError
-unless a deterministic fake is requested. Everything Spark-side —
-schema, partition sizing, UDF signatures, batch shapes — is real and
-tested, so dropping in a real decoder (PIL/torchaudio/ffmpeg) on a
-production image changes one function.
+Uncompressed 24/32-bit BMP decodes natively end-to-end (`decode_bmp`
+below — dependency-free, header-validated), proving the decode seam
+with real pixels. Other formats (JPEG/PNG/audio/video) need imaging
+libraries this container lacks, so for those `decode_image` raises
+NotImplementedError unless a deterministic fake is requested.
+Everything Spark-side — schema, partition sizing, UDF signatures,
+batch shapes — is real and tested, so dropping in a real decoder
+(PIL/torchaudio/ffmpeg) on a production image changes one function.
 
 Scale notes: binary payloads make rows heavy. Keep
 spark.sql.files.maxPartitionBytes low enough that a partition of
@@ -72,8 +74,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
     flip = height > 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions ({width}x{height})")
+    if width > 1 << 24 or height > 1 << 24:
+        raise ValueError(f"BMP dimensions overflow ({width}x{height})")
     nch = bpp // 8
     row_bytes = (width * nch + 3) & ~3
+    if data_off < 54 or data_off + row_bytes * height > len(payload):
+        raise ValueError(
+            f"BMP payload truncated: need {data_off + row_bytes * height} "
+            f"bytes for {width}x{height}@{bpp}bpp, have {len(payload)}"
+        )
     out = np.empty((height, width, 3), dtype=np.uint8)
     for r in range(height):
         off = data_off + r * row_bytes

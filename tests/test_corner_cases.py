@@ -88,3 +88,34 @@ def test_uax29_regional_indicators_and_zwj():
     # emoji are matchable as dictionary phrases end-to-end
     anns = highlighter([{"text": fam, "id": "f"}])(f"pic {fam} attached")
     assert anns and anns[0]["text"] == fam and anns[0]["begin_offset"] == 4
+
+def test_text_default_pictographs_and_keycaps():
+    """ADVICE r8: ©/®/™/〰/〽 default to TEXT presentation — Lucene 8.x
+    only emits them as <EMOJI> with an explicit U+FE0F variation
+    selector; bare forms are punctuation (dropped). Keycap sequences
+    (UTS#51 ED-20: [0-9#*] FE0F? U+20E3) are single tokens."""
+    from beagle_spark.analysis.tokenizers import get_tokenizer
+
+    tok = get_tokenizer("standard")
+    # bare text-default pictographs are NOT tokens
+    assert [t.text for t in tok("acme © 2024 widgets ® brand ™")] == [
+        "acme", "2024", "widgets", "brand"
+    ]
+    assert [t.text for t in tok("wavy 〰 part 〽 done")] == [
+        "wavy", "part", "done"
+    ]
+    # with FE0F they ARE emoji tokens
+    assert [t.text for t in tok("acme ®️ brand ™️")] == [
+        "acme", "®️", "brand", "™️"
+    ]
+    # keycap sequences are ONE token, with and without FE0F
+    assert [t.text for t in tok("press 1️⃣ or #️⃣")] == [
+        "press", "1️⃣", "or", "#️⃣"
+    ]
+    assert [t.text for t in tok("bare 5⃣ keycap *️⃣")] == [
+        "bare", "5⃣", "keycap", "*️⃣"
+    ]
+    # plain digits/letters unaffected; emoji-presentation emoji still fine
+    assert [t.text for t in tok("v12.3 \U0001F680 go")] == [
+        "v12.3", "\U0001F680", "go"
+    ]

@@ -33,3 +33,48 @@ def test_bmp_real_decode_through_mapinpandas(spark):
     want = float(img0.reshape(-1, 3).mean(axis=0)[0] / 255.0)
     got = [r for r in out if r["media_id"] == 0][0]["feature"][0]
     assert abs(got - want) < 1e-6
+
+def test_bmp_header_validation():
+    """Malformed BMP headers raise a clean ValueError, not a numpy
+    error (ADVICE r8: validate dimensions and payload bounds)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from beagle_spark.ops.multimodal import decode_bmp, encode_bmp
+
+    good = bytearray(encode_bmp(
+        np.zeros((4, 5, 3), dtype=np.uint8)))
+
+    def patched(off, fmt, *vals):
+        b = bytearray(good)
+        struct.pack_into(fmt, b, off, *vals)
+        return bytes(b)
+
+    # width <= 0
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(patched(18, "<i", 0))
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(patched(18, "<i", -5))
+    # height == 0
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(patched(22, "<i", 0))
+    # overflowing dimensions
+    with pytest.raises(ValueError, match="overflow"):
+        decode_bmp(patched(18, "<i", 1 << 30))
+    with pytest.raises(ValueError, match="overflow"):
+        decode_bmp(patched(22, "<i", 1 << 30))
+    # truncated payload
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(good[:-8]))
+    # data offset pointing into the header / past the end
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(patched(10, "<I", 10))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(patched(10, "<I", len(good)))
+    # negative height (top-down BMP) with valid payload still decodes
+    b = bytearray(good)
+    struct.pack_into("<i", b, 22, -4)
+    img = decode_bmp(bytes(b))
+    assert img.shape == (4, 5, 3)
