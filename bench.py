@@ -156,28 +156,44 @@ def main():
         )
     ann_stats["targets_docs_per_sec"] = {"5k": 2000, "80k": 400}  # BASELINE.md 2x gate
 
-    # --- steady-state scale probe: >=100k docs (VERDICT r6 item 8) ---
-    # replicate the corpus so per-job overhead stops dominating; this is
-    # the docs/s a long-running 100 TB job sees per 32-core node.
-    repl = max(1, (100_000 + n_docs - 1) // n_docs)
+    # --- steady-state scale probe: 1M docs, median of 3 (VERDICT r8
+    # item 6; was 100k single-shot, which swung 18.5k->33.4k docs/s on
+    # identical code between r7 and r8). Replicate the corpus so
+    # per-job overhead stops dominating; partitions pinned to CPUS; this
+    # is the docs/s a long-running 100 TB job sees per 32-core node.
+    probe_docs = int(os.environ.get("SPARK_GRAFT_PROBE_DOCS", "1000000"))
+    repl = max(1, (probe_docs + n_docs - 1) // n_docs)
     big = (
         docs.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(repl))))
         .drop("_r")
         .repartition(int(CPUS))
-        .cache()
+        .persist()
     )
     n_big = big.count()
     ann5k = Annotator(make_dictionary(5_000))
-    out_big = ann5k.annotate_df(big).select(F.sum(F.size("annotations")).alias("n"))
-    big_sec, _ = timed(lambda: out_big.collect())
+    big_secs = []
+    for i in (1, 2, 3):
+        # vary the map-side expression so Spark can't reuse a completed
+        # stage across runs (same trick as the warm runs above)
+        out_big = ann5k.annotate_df(big).select(
+            (F.sum(F.size("annotations") + i) - F.lit(i * n_big)).alias("n")
+        )
+        sec_i, _ = timed(lambda: out_big.collect())
+        big_secs.append(sec_i)
+        log(f"  1M probe run {i}: {sec_i:.2f}s ({n_big / sec_i:.0f} docs/s)")
     big.unpersist()
-    ann_stats["steady_100k"] = {
+    big_sec = sorted(big_secs)[1]
+    ann_stats["steady_1m"] = {
         "n_docs": int(n_big),
         "annotate_sec": round(big_sec, 3),
+        "annotate_secs": [round(s, 3) for s in big_secs],
         "docs_per_sec": round(n_big / big_sec, 1),
     }
-    results["annotate_100k_docs"] = round(big_sec, 3)
-    log(f"annotate 100k-doc probe: {n_big} docs in {big_sec:.2f}s -> {n_big / big_sec:.0f} docs/s")
+    results["annotate_1m_docs"] = round(big_sec, 3)
+    log(
+        f"annotate 1M-doc probe: {n_big} docs, median {big_sec:.2f}s of "
+        f"{[f'{s:.2f}' for s in big_secs]} -> {n_big / big_sec:.0f} docs/s"
+    )
     extra["annotate"] = ann_stats
 
     # --- registry headline queries ---
@@ -191,19 +207,48 @@ def main():
         "ts_winnow", "dd_clusters", "dd_simhash_pairs", "dd_embed_neardup",
         "sim_ivf_ann",
     ]
-    for name in bench_queries:
-        fn, _sql = REGISTRY[name]
+    # Shared warm-up: one untimed pass that touches every table scan and
+    # pays codegen/JIT/scheduler warmup BEFORE any timed run. Then TWO
+    # timed passes over the whole suite, min per query. The r7->r8 A/A
+    # experiment (byte-identical code) showed single-shot — and even
+    # back-to-back min-of-2 — per-query numbers swinging up to 6.7x on
+    # this shared box; two time-separated full passes decorrelate the
+    # noise burst from the measurement.
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.format("noop").mode(
+            "overwrite").save()
+    warm_names = ["q1_pricing_summary", "ts_token_count", "dd_exact"]
+    for name in warm_names:
         try:
-            sec1, _ = timed(run_query(fn, spark, SF_DIR))
-            # min of two runs: first pays codegen/scan warmup; on a
-            # shared box this also damps scheduler noise
-            sec2, _ = timed(run_query(fn, spark, SF_DIR)) if sec1 < 30 else (sec1, None)
-            sec = min(sec1, sec2)
-            results[name] = round(sec, 3)
-            log(f"{name}: {sec:.2f}s (cold {sec1:.2f}s)")
-        except Exception as e:  # keep the bench line intact on failure
-            log(f"{name}: FAILED {e}")
-            results[name] = -1.0
+            run_query(REGISTRY[name][0], spark, SF_DIR)()
+        except Exception:
+            pass
+    pass_times: list[dict[str, float]] = []
+    for p in (1, 2):
+        times: dict[str, float] = {}
+        for name in bench_queries:
+            fn, _sql = REGISTRY[name]
+            if p > 1 and pass_times[0].get(name, 0) > 60:
+                times[name] = pass_times[0][name]  # too slow to repeat
+                continue
+            try:
+                sec, _ = timed(run_query(fn, spark, SF_DIR))
+                times[name] = sec
+            except Exception as e:  # keep the bench line intact on failure
+                log(f"{name}: FAILED {e}")
+                times[name] = -1.0
+        pass_times.append(times)
+        ok_total = sum(v for v in times.values() if v > 0)
+        log(f"suite pass {p}: {ok_total:.1f}s")
+    for name in bench_queries:
+        samples = [t[name] for t in pass_times if t.get(name, -1.0) >= 0]
+        results[name] = round(min(samples), 3) if samples else -1.0
+        per_pass = ", ".join(f"{t.get(name, -1.0):.2f}" for t in pass_times)
+        log(f"{name}: {results[name]}s (passes: {per_pass})")
+    extra["pass_times"] = [
+        {k: round(v, 3) for k, v in t.items()} for t in pass_times
+    ]
 
     total = round(sum(v for v in results.values() if v > 0), 3)
     print(
