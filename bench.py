@@ -2,10 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "annotate": {docs_per_sec at 5k/80k phrases, ...}}
+Prints ONE COMPACT JSON line (kept well under the driver's 2000-char
+tail capture — bulky diagnostics go to bench_detail.json next to this
+script):
+  {"metric": "suite_total", "value": <total sec>, "unit": "sec",
+   "queries": {name: min-of-2 sec, ...}, "sf": ...,
+   "annotate": {"5k"|"80k"|"steady_1m": docs_per_sec},
+   "unstable": [names whose two passes differ >2x]}
 
 The annotate benchmark mirrors the reference's published setup
 (BASELINE.md): dictionary sizes 5k and 80k phrases, mostly-non-matching
@@ -13,6 +16,13 @@ entries (city-name-style) so the presearcher-style prefilter is
 exercised, plus a matching subset so real match work happens.
 Reference targets: >= ~2000 docs/s (5k) and >= ~400 docs/s (80k) per
 8-core node.
+
+Stability: per-query numbers are min-of-2 time-separated full passes.
+On this shared box, A/A experiments (byte-identical code) have shown
+per-pass swings up to ~2x warm and ~4x cold that no amount of warmup
+removes; min-of-2 is the mitigation, not a cure. Queries whose two
+passes differ by >2x are listed in "unstable" so downstream deltas on
+them can be discounted mechanically.
 """
 
 from __future__ import annotations
@@ -162,6 +172,11 @@ def main():
     # per-job overhead stops dominating; partitions pinned to CPUS; this
     # is the docs/s a long-running 100 TB job sees per 32-core node.
     probe_docs = int(os.environ.get("SPARK_GRAFT_PROBE_DOCS", "1000000"))
+    # Label derived from the requested probe size so overridden runs
+    # (SPARK_GRAFT_PROBE_DOCS=20000) don't emit numbers mislabeled "1M".
+    probe_label = (
+        "steady_1m" if probe_docs == 1_000_000 else f"steady_{probe_docs // 1000}k"
+    )
     repl = max(1, (probe_docs + n_docs - 1) // n_docs)
     big = (
         docs.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(repl))))
@@ -180,18 +195,18 @@ def main():
         )
         sec_i, _ = timed(lambda: out_big.collect())
         big_secs.append(sec_i)
-        log(f"  1M probe run {i}: {sec_i:.2f}s ({n_big / sec_i:.0f} docs/s)")
+        log(f"  {probe_label} probe run {i}: {sec_i:.2f}s ({n_big / sec_i:.0f} docs/s)")
     big.unpersist()
     big_sec = sorted(big_secs)[1]
-    ann_stats["steady_1m"] = {
+    ann_stats[probe_label] = {
         "n_docs": int(n_big),
         "annotate_sec": round(big_sec, 3),
         "annotate_secs": [round(s, 3) for s in big_secs],
         "docs_per_sec": round(n_big / big_sec, 1),
     }
-    results["annotate_1m_docs"] = round(big_sec, 3)
+    results[f"annotate_{probe_label.split('_', 1)[1]}_docs"] = round(big_sec, 3)
     log(
-        f"annotate 1M-doc probe: {n_big} docs, median {big_sec:.2f}s of "
+        f"annotate {probe_label} probe: {n_big} docs, median {big_sec:.2f}s of "
         f"{[f'{s:.2f}' for s in big_secs]} -> {n_big / big_sec:.0f} docs/s"
     )
     extra["annotate"] = ann_stats
@@ -216,8 +231,11 @@ def main():
     # noise burst from the measurement.
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
-        spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.format("noop").mode(
-            "overwrite").save()
+        try:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.format("noop").mode(
+                "overwrite").save()
+        except Exception as e:  # tolerate a missing table like the query loop
+            log(f"warm-up scan {t}: skipped ({e})")
     warm_names = ["q1_pricing_summary", "ts_token_count", "dd_exact"]
     for name in warm_names:
         try:
@@ -241,31 +259,66 @@ def main():
         pass_times.append(times)
         ok_total = sum(v for v in times.values() if v > 0)
         log(f"suite pass {p}: {ok_total:.1f}s")
+    unstable: list[str] = []
     for name in bench_queries:
         samples = [t[name] for t in pass_times if t.get(name, -1.0) >= 0]
         results[name] = round(min(samples), 3) if samples else -1.0
+        if len(samples) == 2 and min(samples) > 0 and max(samples) > 2 * min(samples):
+            unstable.append(name)
         per_pass = ", ".join(f"{t.get(name, -1.0):.2f}" for t in pass_times)
         log(f"{name}: {results[name]}s (passes: {per_pass})")
+    if unstable:
+        log(f"unstable (>2x between passes, deltas unreliable): {unstable}")
     extra["pass_times"] = [
         {k: round(v, 3) for k, v in t.items()} for t in pass_times
     ]
 
     total = round(sum(v for v in results.values() if v > 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "n_docs": n_docs,
-                "cpus": int(CPUS),
-                **extra,
-            }
-        ),
-        flush=True,
+    # Full diagnostics (per-pass times, warm_secs, compile/cold splits) go
+    # to a side file; the single stdout line stays compact so the driver's
+    # 2000-char tail capture always sees the complete JSON (BENCH_r09 was
+    # unparseable because pass_times pushed the line past that limit).
+    detail = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_docs": n_docs,
+        "cpus": int(CPUS),
+        "unstable": unstable,
+        **extra,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        log(f"full diagnostics -> {detail_path}")
+    except OSError as e:
+        log(f"could not write {detail_path}: {e}")
+    compact_annotate = {
+        k: v["docs_per_sec"]
+        for k, v in ann_stats.items()
+        if isinstance(v, dict) and "docs_per_sec" in v
+    }
+    line = json.dumps(
+        {
+            "metric": "suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": results,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "n_docs": n_docs,
+            "cpus": int(CPUS),
+            "annotate": compact_annotate,
+            "unstable": unstable,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1500, f"bench line too long ({len(line)} chars)"
+    print(line, flush=True)
     spark.stop()
 
 
