@@ -174,9 +174,12 @@ def main():
     probe_docs = int(os.environ.get("SPARK_GRAFT_PROBE_DOCS", "1000000"))
     # Label derived from the requested probe size so overridden runs
     # (SPARK_GRAFT_PROBE_DOCS=20000) don't emit numbers mislabeled "1M".
-    probe_label = (
-        "steady_1m" if probe_docs == 1_000_000 else f"steady_{probe_docs // 1000}k"
-    )
+    if probe_docs == 1_000_000:
+        probe_label = "steady_1m"
+    elif probe_docs >= 1000:
+        probe_label = f"steady_{probe_docs // 1000}k"
+    else:  # tiny overridden runs: raw doc count, not a misleading "0k"
+        probe_label = f"steady_{probe_docs}"
     repl = max(1, (probe_docs + n_docs - 1) // n_docs)
     big = (
         docs.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(repl))))
@@ -303,21 +306,29 @@ def main():
         for k, v in ann_stats.items()
         if isinstance(v, dict) and "docs_per_sec" in v
     }
-    line = json.dumps(
-        {
-            "metric": "suite_total",
-            "value": total,
-            "unit": "sec",
-            "queries": results,
-            "sf": SF_DIR.rstrip("/").split("sf")[-1],
-            "n_docs": n_docs,
-            "cpus": int(CPUS),
-            "annotate": compact_annotate,
-            "unstable": unstable,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1500, f"bench line too long ({len(line)} chars)"
+    payload = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_docs": n_docs,
+        "cpus": int(CPUS),
+        "annotate": compact_annotate,
+        "unstable": unstable,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # The driver tail-captures ~2000 chars of stdout; if the compact line
+    # ever outgrows the budget, progressively drop optional fields rather
+    # than suppressing the summary entirely (a hard assert here once risked
+    # zeroing a whole round's bench record).
+    for drop in ("unstable", "annotate", "queries"):
+        if len(line) < 1500:
+            break
+        log(f"bench line too long ({len(line)} chars); dropping '{drop}' "
+            f"(full data in bench_detail.json)")
+        payload.pop(drop, None)
+        line = json.dumps(payload, separators=(",", ":"))
     print(line, flush=True)
     spark.stop()
 
