@@ -138,10 +138,15 @@ def _chain(conf: AnalysisConfig):
         and conf.case_sensitive
         and not conf.ascii_fold
     )
-    tokenize = _classic_filtered_tokenize if classic_filter else get_tokenizer(conf.tokenizer)
     stem_fn = get_stemmer(conf.stemmer) if conf.stem else None
     lower = not conf.case_sensitive
     fold = conf.ascii_fold
+    if not classic_filter and not fold and stem_fn is None:
+        # fast path (the common annotate configs): the optional
+        # LowerCaseFilter is fused into the scan loop — one Token per
+        # token instead of scan-then-rebuild (see get_tokenizer).
+        return get_tokenizer(conf.tokenizer, lower=lower)
+    tokenize = _classic_filtered_tokenize if classic_filter else get_tokenizer(conf.tokenizer)
 
     def run(text: str) -> list[Token]:
         toks = tokenize(text)

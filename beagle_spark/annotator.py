@@ -131,7 +131,16 @@ class Annotator:
     def udf(self, spark: SparkSession):
         """Arrow-batched pandas UDF: string column -> array<struct> of
         annotations. Iterator form so the broadcast is resolved once per
-        partition, not once per batch."""
+        partition, not once per batch.
+
+        Marked NON-DETERMINISTIC (it is pure, but this stops the
+        optimizer pushing filters below it WITH A COPY of the UDF —
+        spark_optimization_guide.md §4.4). Before this, every query of
+        the form annotate -> filter/explode evaluated the dictionary
+        match TWICE per document, and the pushed copy ran below the
+        caller's repartition, i.e. single-threaded on a single-file
+        scan (see plans/r21/t5_dict_match_counts_before.txt: two
+        ArrowEvalPython nodes, the lower one under the Exchange)."""
         bc = self._broadcast(spark)
 
         @pandas_udf(ANNOTATIONS_TYPE)
@@ -140,7 +149,7 @@ class Annotator:
             for series in batches:
                 yield series.map(lambda t: match_text(t, cd))
 
-        return annotate_series
+        return annotate_series.asNondeterministic()
 
     def annotate_df(
         self,

@@ -511,4 +511,6 @@ def lucene_annotate_df(df, dictionary, text_col: str = "text", opts: dict | None
         for s in batches:
             yield s.map(f)
 
-    return df.withColumn(output_col, match_udf(F.col(text_col)))
+    # non-deterministic mark: stop filter pushdown from duplicating the
+    # UDF evaluation (guide §4.4; same rationale as Annotator.udf)
+    return df.withColumn(output_col, match_udf.asNondeterministic()(F.col(text_col)))

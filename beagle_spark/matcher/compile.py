@@ -48,6 +48,7 @@ class FieldProgram:
     conf: AnalysisConfig
     queries: list[CompiledQuery] = field(default_factory=list)
     exact_index: dict = field(default_factory=dict)  # {n: {joined terms -> emits}}
+    first_terms: dict = field(default_factory=dict)  # {n>1: frozenset of first terms}
     ngram_lengths: tuple = ()
     n_exact: int = 0
     general: list = field(default_factory=list)  # query idxs needing verify
@@ -85,6 +86,15 @@ class FieldProgram:
         self.queries = keep
         self.exact_index = {
             n: {k: tuple(v) for k, v in table.items()} for n, table in exact.items()
+        }
+        # first-token gate for the n>1 window probe: a position whose
+        # token isn't the first term of ANY n-phrase can't start a match,
+        # so the (allocating) window join + table probe is skipped — on
+        # mostly-non-matching dictionaries this is the common case.
+        self.first_terms = {
+            n: frozenset(key.split("\x00", 1)[0] for key in table)
+            for n, table in self.exact_index.items()
+            if n > 1
         }
         self.ngram_lengths = tuple(sorted(exact))
         self.n_exact = sum(len(v) for t in exact.values() for v in t.values())
@@ -138,7 +148,12 @@ class FieldProgram:
                             out.append((e, pos, pos))
             elif n <= n_tok:
                 join = "\x00".join
+                firsts = getattr(self, "first_terms", {}).get(n)
+                if firsts is None:  # program compiled before the gate existed
+                    firsts = frozenset(key.split("\x00", 1)[0] for key in table)
                 for pos in range(n_tok - n + 1):
+                    if texts[pos] not in firsts:
+                        continue
                     emits = table.get(join(texts[pos : pos + n]))
                     if emits:
                         for e in emits:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import logging
 import re
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -90,7 +91,9 @@ def ngram_jaccard_pairs(
         "id", F.explode("shingles").alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # shuffle_merge: a broadcast build side would re-run the shingle
+    # explode; identical shuffles on both sides are exchange-reused
+    a, b = sh.alias("a"), sh.hint("shuffle_merge").alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -228,22 +231,61 @@ def minhash_lsh_candidates(
         occurrences = _bucket_self_join(banded)
     else:
         log.info("minhash_lsh_candidates: bucket_cap=%d skew guard active", bucket_cap)
-        w = Window.partitionBy("band", "bucket")
-        sized = banded.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
-            "_anchor", F.min("id").over(w)
-        )
-        small = sized.where(F.col("_cnt") <= bucket_cap).select("id", "band", "bucket")
-        star = (
-            sized.where((F.col("_cnt") > bucket_cap) & (F.col("id") != F.col("_anchor")))
-            .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
-        )
-        occurrences = _bucket_self_join(small).unionByName(star)
+        occurrences = _grouped_bucket_pairs(banded, bucket_cap)
     return occurrences.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
+def _grouped_bucket_pairs(banded: DataFrame, bucket_cap: int) -> DataFrame:
+    """(id, band, bucket) -> one (id_a < id_b) row per shared bucket,
+    with the bucket_cap star-pair guard, via per-bucket GROUPED pair
+    generation instead of a windowed count + self-join (r21; the
+    r3-r20 shape). Why: the self-join's two sides each re-executed the
+    whole upstream pipeline — for MinHash that is the shingle ->
+    64-aggregate signature stage, cloned into a BroadcastExchange build
+    side (see plans/r21/lsh_verify_pipeline_before.txt, nodes 1-17 vs
+    21-35) — and the bucket-cap Window added a per-(band,bucket) sort.
+    Grouping computes the pipeline ONCE, with one shuffle and no sort:
+
+      groupBy(band, bucket) -> sorted id array
+        size <= cap: emit all (ids[i], ids[j]) i<j   (array is sorted,
+                     so id_a < id_b by construction — identical pair
+                     set to the old within-bucket self-join)
+        size  > cap: emit star pairs (ids[0] = the old min-id anchor,
+                     member) — identical to the old windowed guard.
+
+    Per-group state is bounded by bucket_cap-sized arrays for capped
+    buckets; an oversized bucket holds its member ids only (8 bytes
+    per doc in the bucket), same order of memory as the old window
+    frame. Pair generation is a higher-order array expression —
+    interpreted, but it touches exactly the rows the old join emitted."""
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("_ids")
+    )
+    n = F.size("_ids")
+    all_pairs = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice("_ids", i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice("_ids", 2, n - 1),
+        lambda y: F.struct(F.element_at("_ids", 1).alias("id_a"), y.alias("id_b")),
+    )
+    return grouped.select(
+        F.explode(F.when(n <= bucket_cap, all_pairs).otherwise(star)).alias("_p")
+    ).select("_p.id_a", "_p.id_b")
+
+
 def _bucket_self_join(banded: DataFrame) -> DataFrame:
-    """(id, band, bucket) -> one (id_a < id_b) row per shared bucket."""
-    a, b = banded.alias("a"), banded.alias("b")
+    """(id, band, bucket) -> one (id_a < id_b) row per shared bucket.
+    shuffle_merge hint: identical shuffles on both sides are computed
+    once and exchange-reused; a broadcast build side would re-execute
+    the upstream (signature/fingerprint) pipeline."""
+    a, b = banded.alias("a"), banded.hint("shuffle_merge").alias("b")
     return a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
@@ -352,6 +394,44 @@ def minhash_lsh_verified(
         shingled.unpersist()
 
 
+# Instrumentation for the most recent connected_components run in this
+# process (driver-side; bench.py copies it into bench_detail.json so
+# cross-round wall-time excursions are attributable to convergence
+# behavior vs box noise). Read-only for callers.
+CC_LAST_STATS: dict = {}
+
+
+def _cc_propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation + pointer-doubling round, PRE-checkpoint:
+    (id, label, prev). Factored out of :func:`connected_components` so the
+    plan-capture tool explains exactly the code the loop runs.
+
+    1. propagation min: neighbor labels (edges equi-join labels on dst)
+       UNIONed with the labels themselves, one min-aggregate per id —
+       the self rows carry the previous label through the aggregate
+       (``min(own)``; exactly one non-null per id), so no join-back;
+    2. pointer doubling: self-join on the stepped label, ``least``.
+    """
+    neigh = edges.join(labels, edges.dst == labels.id).select(
+        F.col("src").alias("id"),
+        F.col("label"),
+        F.lit(None).cast(labels.schema["label"].dataType).alias("own"),
+    )
+    stepped = (
+        neigh.unionByName(labels.select("id", "label", F.col("label").alias("own")))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"), F.min("own").alias("prev"))
+    )
+    x, y = stepped.alias("x"), stepped.alias("y")
+    return x.join(y, F.col("x.label") == F.col("y.id"), "left").select(
+        F.col("x.id").alias("id"),
+        F.least(
+            F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))
+        ).alias("label"),
+        F.col("x.prev").alias("prev"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -364,14 +444,40 @@ def connected_components(
     of label(u)) until fixpoint. Converges in O(component diameter)
     rounds for plain propagation; a pointer-doubling compression step
     (label <- label of label) after each round makes it O(log diameter)
-    — a diameter-40 chain converges in ~7 rounds instead of 40. Each
-    round is two equi-join shuffles on node id, never anything
-    quadratic. Lineage is cut per round with localCheckpoint so the
-    plan doesn't grow with iterations (the classic iterative-algorithm
-    trap on Spark).
+    — a diameter-40 chain converges in ~7 rounds instead of 40. Lineage
+    is cut per round with localCheckpoint so the plan doesn't grow with
+    iterations (the classic iterative-algorithm trap on Spark).
+
+    Per-round plan (r21 shape — one join fewer and one action fewer
+    per round than the r3-r20 version, which computed the propagation
+    min with a groupBy THEN left-joined it back onto the labels, and
+    ran a separate labels-join action just to count changed rows):
+
+    1. propagation min: neighbor labels (edges equi-join labels on dst)
+       UNIONed with the labels themselves, one min-aggregate per id —
+       the self rows also carry the previous label through the
+       aggregate (``min(own)``; exactly one non-null per id), so no
+       join-back is needed;
+    2. pointer doubling: self-join on the stepped label, ``least``;
+    3. eager checkpoint, then ``changed`` = count of label != prev
+       rows — a map-only scan of the just-checkpointed partitions
+       (the old shape paid an extra shuffle join against the previous
+       labels for this count, every round).
+
+    The symmetrized edge set is built once, hash-partitioned by ``dst``
+    and PERSISTED: the cached relation advertises its partitioning to
+    the planner, so every round's propagation join reads it in place
+    instead of re-shuffling the (potentially huge) edge relation per
+    round — only the small label table moves. (localCheckpoint would
+    NOT work here: a LogicalRDD does not carry reusable partitioning —
+    verified empirically on this Spark build.) The cache is released in
+    a finally block.
 
     Raises if max_iter is exhausted before the fixpoint — silently
     returning unconverged labels would corrupt the dedup decision.
+
+    Instrumentation: per-round changed-row counts and wall times land
+    in ``CC_LAST_STATS`` (module global) after every run.
 
     Checkpoint durability: by default lineage is cut with
     localCheckpoint (executor-local storage — fast, fine for local
@@ -386,56 +492,64 @@ def connected_components(
     Returns (id, component) with component = min node id reachable —
     the canonical-document id for dedup.
     """
+    import time
+
     def _cut(df: DataFrame, eager: bool) -> DataFrame:
         if reliable_checkpoint:
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
 
+    t_start = time.monotonic()
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = _cut(
+    # Symmetrize once, PRE-PARTITION BY the propagation join key and
+    # persist: every round's edges-join-labels then reads the cached,
+    # already-hash(dst)-partitioned relation (InMemoryRelation advertises
+    # its outputPartitioning to the planner), so only the small label
+    # table is shuffled per round — at corpus scale the edge relation is
+    # the big side. persist (not checkpoint) also keeps recompute
+    # lineage for fault tolerance; it is released in the finally below
+    # (the returned labels are eagerly checkpointed, so nothing escapes
+    # referencing the cache).
+    edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct(),
-        eager=False,
+        )
+        .distinct()
+        .repartition("dst")
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    rounds: list[dict] = []
     converged = False
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        stepped = labels.join(neigh, labels.id == neigh.src, "left").select(
-            labels.id,
-            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-        )
-        # pointer doubling: follow the label's own label
-        x, y = stepped.alias("x"), stepped.alias("y")
-        new_labels = _cut(
-            x.join(y, F.col("x.label") == F.col("y.id"), "left")
-            .select(
-                F.col("x.id").alias("id"),
-                F.least(
-                    F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))
-                ).alias("label"),
-            ),
-            eager=True,
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+    try:
+        for _ in range(max_iter):
+            t0 = time.monotonic()
+            # propagation + doubling (see _cc_propagate_round), then cut
+            new_labels = _cut(_cc_propagate_round(edges, labels), eager=True)
+            # convergence check: map-only scan of checkpointed partitions
+            changed = new_labels.where(F.col("label") != F.col("prev")).count()
+            labels = new_labels.select("id", "label")
+            rounds.append(
+                {"changed": int(changed), "secs": round(time.monotonic() - t0, 3)}
+            )
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        edges.unpersist()
+    CC_LAST_STATS.clear()
+    CC_LAST_STATS.update(
+        {
+            "iterations": len(rounds),
+            "converged": converged,
+            "rounds": rounds,
+            "total_secs": round(time.monotonic() - t_start, 3),
+        }
+    )
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
@@ -551,41 +665,69 @@ def simhash_fingerprints_md5(
     )
 
     @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        # cache per unique token: its 64-vector of +-1 contributions
-        tok_vec: dict = {}
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Iterator form: the per-unique-token contribution cache lives
+        # for the whole TASK, amortizing md5 work across batches (the
+        # scalar form rebuilt it per batch). Per-batch accumulation is
+        # one fancy-index + reduceat + matmul instead of a Python-level
+        # 64-add loop per token (r20 shape) — the md5-per-unique-token
+        # cost is the only remaining per-row Python work.
+        tok_idx: dict = {}
+        vecs: list = []  # parallel to tok_idx values: 64-vector each
+        stacked = [np.empty((0, 64), dtype=np.int64)]  # memoized vstack
+        _CACHE_CAP = 1_000_000  # ~0.5 GB of vectors; reset beyond (memoization only)
 
-        def vec(tok: str) -> np.ndarray:
-            v = tok_vec.get(tok)
-            if v is None:
+        def idx(tok: str) -> int:
+            i = tok_idx.get(tok)
+            if i is None:
                 m = hashlib.md5(tok.encode("utf-8")).hexdigest()[:16]
                 v = np.empty(64, dtype=np.int64)
                 for j, ch in enumerate(m):
                     v[4 * j : 4 * j + 4] = _contrib[int(ch, 16)]
-                tok_vec[tok] = v
-            return v
+                i = len(vecs)
+                vecs.append(v)
+                tok_idx[tok] = i
+            return i
 
-        out = np.zeros(len(texts), dtype=np.int64)
         weights = (np.int64(1) << np.arange(63)).astype(np.int64)
-        for k, t in enumerate(texts):
-            # trim SPACES ONLY and keep empty tokens from the split:
-            # Spark's trim() strips ' ' (not \t\n) and split(limit=-1)
-            # keeps leading/trailing '' elements, as does DuckDB's
-            # trim()/regexp_split_to_array — so 'foo bar\n' must
-            # tokenize to ['foo','bar',''], not ['foo','bar'].
-            t = ("" if t is None else t).lower().strip(" ")
-            toks = _ws.split(t) if t else [""]
-            sums = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                sums += vec(tok)
+        int64_min = np.int64(-(1 << 63))
+        for texts in batches:
+            if len(vecs) > _CACHE_CAP:
+                tok_idx.clear()
+                vecs.clear()
+                stacked[0] = np.empty((0, 64), dtype=np.int64)
+            flat: list[int] = []
+            starts: list[int] = [0]
+            for t in texts:
+                # trim SPACES ONLY and keep empty tokens from the split:
+                # Spark's trim() strips ' ' (not \t\n) and split(limit=-1)
+                # keeps leading/trailing '' elements, as does DuckDB's
+                # trim()/regexp_split_to_array — so 'foo bar\n' must
+                # tokenize to ['foo','bar',''], not ['foo','bar'].
+                t = ("" if t is None else t).lower().strip(" ")
+                toks = _ws.split(t) if t else [""]
+                flat.extend(idx(tok) for tok in toks)
+                starts.append(len(flat))
+            if not texts.size:
+                yield pd.Series([], dtype="int64")
+                continue
+            if stacked[0].shape[0] != len(vecs):  # vocab grew this batch
+                stacked[0] = np.vstack(vecs)
+            V = stacked[0]  # (n_unique_tokens_so_far, 64)
+            # per-doc bit sums: every doc has >= 1 token, so reduceat
+            # boundaries are strictly increasing
+            sums = np.add.reduceat(V[np.asarray(flat)], np.asarray(starts[:-1]))
             bits = sums > 0
-            fp = int((weights[bits[:63]]).sum())
-            if bits[63]:
-                fp -= 1 << 63
-            out[k] = fp
-        return pd.Series(out)
+            fps = bits[:, :63].astype(np.int64) @ weights
+            fps[bits[:, 63]] += int64_min
+            yield pd.Series(fps)
 
-    out = df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+    # non-deterministic mark: stop pushed filters (isnotnull from the
+    # downstream band joins) duplicating the UDF evaluation (guide §4.4)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        _simhash.asNondeterministic()(F.col(text_col)).alias("simhash"),
+    )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     return out.withColumn(
@@ -612,30 +754,67 @@ def simhash_pairs(
     ``fps`` is the output of :func:`simhash_fingerprints` or
     :func:`simhash_fingerprints_md5`. ``bucket_cap`` applies the same
     oversized-bucket star-pair guard as the MinHash path (see
-    :func:`minhash_lsh_candidates`)."""
+    :func:`minhash_lsh_candidates`).
+
+    Plan shape (r21): the fingerprint column is CARRIED THROUGH the
+    band explode and the bucket self-join, so both pair fingerprints
+    come out of the join itself — the r3-r20 shape re-joined the pair
+    list against ``fps`` twice to re-attach them, which (with the
+    band-explode reference) re-executed the fingerprint subplan FOUR
+    times, each doubled by a pushed isnotnull filter: EIGHT
+    ArrowEvalPython corpus passes per run
+    (plans/r21/dd_simhash_pairs_before.txt nodes 3,7,14,18,31,35,42,46).
+    The self-join carries a SHUFFLE_MERGE hint so both sides shuffle
+    identically and the fingerprint subplan is computed once and
+    exchange-reused (an AQE broadcast build side would re-execute it);
+    at corpus scale both sides ARE the corpus, so merge is the right
+    strategy anyway. Per-pair dedup happens AFTER the cheap hamming
+    verify, as a min-aggregate (hamming is pair-functional, so the
+    value is unchanged)."""
     banded = fps.select(
-        "id", F.posexplode("bands").alias("band_idx", "band_val")
-    ).withColumnRenamed("band_idx", "band").withColumnRenamed("band_val", "bucket")
+        "id", "simhash", F.posexplode("bands").alias("band", "bucket")
+    )
+
+    def _self_join_pairs(rel: DataFrame) -> DataFrame:
+        a = rel.alias("a")
+        b = rel.hint("shuffle_merge").alias("b")
+        return a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_ha"),
+            F.col("b.simhash").alias("_hb"),
+        )
+
     if bucket_cap is None:
-        occ = _bucket_self_join(banded)
+        occ = _self_join_pairs(banded)
     else:
         w = Window.partitionBy("band", "bucket")
         sized = banded.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
-            "_anchor", F.min("id").over(w)
+            "_anchor", F.min(F.struct("id", "simhash")).over(w)
         )
-        small = sized.where(F.col("_cnt") <= bucket_cap).select("id", "band", "bucket")
+        small = sized.where(F.col("_cnt") <= bucket_cap).select(
+            "id", "simhash", "band", "bucket"
+        )
         star = (
-            sized.where((F.col("_cnt") > bucket_cap) & (F.col("id") != F.col("_anchor")))
-            .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+            sized.where(
+                (F.col("_cnt") > bucket_cap) & (F.col("id") != F.col("_anchor.id"))
+            )
+            .select(
+                F.col("_anchor.id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("_anchor.simhash").alias("_ha"),
+                F.col("simhash").alias("_hb"),
+            )
         )
-        occ = _bucket_self_join(small).unionByName(star)
-    cand = occ.distinct()
-    fa = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("_ha"))
-    fb = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("_hb"))
+        occ = _self_join_pairs(small).unionByName(star)
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
-        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        occ.withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
     )

@@ -93,7 +93,11 @@ def cosine_pair_col(a_col, b_col):
             acc / (np.sqrt(_seq_sqnorm(A)) * np.sqrt(_seq_sqnorm(B)))
         )
 
-    return _cos(a_col, b_col)
+    # non-deterministic mark: callers filter directly on the cosine
+    # (where cos >= threshold); without it the optimizer pushes the
+    # filter below the projection WITH A COPY of the UDF, scoring every
+    # candidate pair twice (guide §4.4)
+    return _cos.asNondeterministic()(a_col, b_col)
 
 
 def brute_force_topk(
@@ -136,7 +140,10 @@ def hyperplane_bucket(vec_col, planes: list[list[float]]):
             bucket |= (_seq_dot(V, plane) > 0).astype(np.int64) << h
         return pd.Series(bucket.astype("int32"))
 
-    return _bucket(vec_col)
+    # non-deterministic mark: lsh_ann_topk filters on the bucket column
+    # (_bucket == query bucket); stop the pushed filter duplicating the
+    # UDF evaluation (guide §4.4)
+    return _bucket.asNondeterministic()(vec_col)
 
 
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
@@ -193,7 +200,12 @@ def lsh_cosine_pairs(
         F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    l, r = b.alias("l"), b.alias("r")
+    # SHUFFLE_MERGE hint: both sides of the self-join are the same
+    # bucketed-corpus subplan; a broadcast build side would re-execute
+    # the bucket UDF over the corpus, while identical shuffles are
+    # computed once and exchange-reused (and at 100 TB broadcast is
+    # impossible for this join anyway)
+    l, r = b.alias("l"), b.hint("shuffle_merge").alias("r")
     return (
         l.join(
             r,
@@ -267,7 +279,10 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
             dists[:, i] = acc
         return pd.Series(np.argmin(dists, axis=1).astype("int32"))
 
-    return _cell(vec_col)
+    # non-deterministic mark: ivf_ann_topk filters on the cell column
+    # (_cell IN probe set); stop the pushed filter duplicating the UDF
+    # evaluation (guide §4.4)
+    return _cell.asNondeterministic()(vec_col)
 
 
 def ivf_ann_topk(

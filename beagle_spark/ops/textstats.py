@@ -255,18 +255,27 @@ def winnow_fingerprint_pairs(
     hashes, keep the min hash of every `window` consecutive hashes,
     emit the distinct selected hashes as (id, fp) rows.
 
-    Relational plan (the round-2 version nested higher-order
-    ``transform``s, re-evaluating the whole gram array — and the regexp
-    normalization under it — per window position, interpreted, on one
-    partition; it did not finish 500 docs in 15 min):
+    MAP-ONLY relational plan (r21; the r3-r20 version posexploded the
+    gram hashes, took a windowed min partitioned by doc — one full hash
+    shuffle + sort of every gram row — then paid a second shuffle for
+    the global ``distinct``. Winnowing is a pure per-document function,
+    so both shuffles are removable):
 
-    1. project the normalized text once per document (the Generate
-       operator's child projection materializes it, so the regexp runs
-       once per doc, not once per gram),
-    2. ``posexplode`` the per-position gram hashes (one O(len) pass),
-    3. windowed ``min`` partitioned by doc (single hash shuffle —
-       restores parallelism even from a single-file scan),
-    4. ``distinct`` the selected hashes.
+    1. project the normalized text once per document,
+    2. build the per-position gram-hash ARRAY in one projection
+       (``_ghs`` is referenced more than once downstream, which stops
+       Catalyst collapsing the projection into the window lambda and
+       re-hashing the doc once per position — the interpreted
+       higher-order-function trap, see :func:`~..dedup.shingle_docs`),
+    3. per winnow position, ``array_min`` over the k-gram hash window
+       (``slice`` truncates at the array tail exactly like the old
+       ROWS frame did at the partition tail),
+    4. ``array_distinct`` per doc, then ``explode`` to (id, fp) rows.
+
+    No Exchange anywhere: selection happens inside the row, distinct-
+    ness is per-document by construction. Skew stays bounded by doc
+    length. At 100 TB this also removes the gram-row shuffle whose
+    bytes were ~1.6x the corpus text.
 
     The gram hash is md5 (hex string) rather than xxhash64 so DuckDB
     computes the identical fingerprint set — this makes the operator
@@ -274,32 +283,21 @@ def winnow_fingerprint_pairs(
     ``F.xxhash64`` (cheaper, same plan shape, no SQL oracle).
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    base = df.select(F.col(id_col), norm.alias("_norm"))
     m = F.greatest(F.length("_norm") - (k - 1), F.lit(1))
-    grams = base.select(
-        F.col(id_col),
-        m.alias("_m"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), m),
-                lambda i: F.md5(F.col("_norm").substr(i, F.lit(k)).cast("binary")),
-            )
-        ).alias("_pos", "_h"),
+    ghs = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.col("_norm").substr(i, F.lit(k)).cast("binary")),
     )
-    w = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(
-        Window.currentRow, window - 1
+    base = df.select(F.col(id_col), norm.alias("_norm")).select(
+        F.col(id_col), ghs.alias("_ghs")
     )
-    return (
-        grams.select(
-            F.col(id_col),
-            F.col("_pos"),
-            F.col("_m"),
-            F.min("_h").over(w).alias("fp"),
-        )
-        .where(F.col("_pos") <= F.greatest(F.col("_m") - window, F.lit(0)))
-        .select(id_col, "fp")
-        .distinct()
+    # kept winnow positions: 1-based p in [1, greatest(m - window + 1, 1)]
+    # (the old plan's  pos <= greatest(m - window, 0)  filter, 0-based)
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_ghs") - (window - 1), F.lit(1))),
+        lambda p: F.array_min(F.slice(F.col("_ghs"), p, window)),
     )
+    return base.select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("fp"))
 
 
 def fingerprint_winnow(

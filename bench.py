@@ -101,6 +101,7 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from beagle_spark import Annotator
+    from beagle_spark.ops import dedup as _dedup
     from beagle_spark.queries import REGISTRY
 
     results: dict[str, float] = {}
@@ -256,6 +257,12 @@ def main():
             try:
                 sec, _ = timed(run_query(fn, spark, SF_DIR))
                 times[name] = sec
+                if name in ("dd_clusters", "dd_embed_neardup") and _dedup.CC_LAST_STATS:
+                    # connected-components instrumentation (iteration
+                    # count + per-round wall/changed) -> bench_detail
+                    cc = dict(_dedup.CC_LAST_STATS)
+                    extra.setdefault("cc_stats", {})[f"{name}_pass{p}"] = cc
+                    log(f"  {name} cc: iters={cc['iterations']} rounds={cc['rounds']}")
             except Exception as e:  # keep the bench line intact on failure
                 log(f"{name}: FAILED {e}")
                 times[name] = -1.0

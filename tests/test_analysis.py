@@ -260,3 +260,42 @@ def test_classic_tokenizer_host_email_company_types():
     assert types("foo@bar.com") == [("foo@bar.com", "EMAIL")]
     assert types("AT&T") == [("AT&T", "COMPANY")]
     assert types("3.14") == [("3.14", "NUM")]
+
+
+def test_ascii_fastpath_equivalence():
+    """The stdlib-re ASCII twin of the standard/letter tokenizers must
+    produce exactly the tokens of the full UAX#29 regex-module pattern
+    on every pure-ASCII input (non-ASCII input takes the slow path by
+    construction). Deterministic fuzz over the joiner-heavy alphabet
+    plus the documented edge strings."""
+    import random
+
+    from beagle_spark.analysis.tokenizers import (
+        _ASCII_TWINS,
+        _PATTERNS,
+        _scan,
+        get_tokenizer,
+    )
+
+    cases = [
+        "", " ", "a", "John's U.S.A U.S.A. 3.14 1,000 a,b R2D2.com x.y.z",
+        "don't can't 'quoted' trail' .lead mul..ti 1..2 1.2.3 a.b.c",
+        "#hash *star 1# 2* a'b'c'd a'' ''b '' . , .. ', -",
+        "a-b_c", "0.0.0.0", "a." * 300, "'" * 50, "1,2,3 4.5,6",
+    ]
+    rng = random.Random(7)
+    alphabet = "abcXYZ019'., #\t\n-_*"
+    cases += ["".join(rng.choice(alphabet) for _ in range(160)) for _ in range(300)]
+    for name, twin in _ASCII_TWINS.items():
+        full = _PATTERNS[name]
+        for s in cases:
+            assert s.isascii()
+            assert _scan(twin, s) == _scan(full, s), (name, s)
+
+    # fused-lower scanner == scan-then-lower, offsets from original text
+    std = get_tokenizer("standard")
+    std_lower = get_tokenizer("standard", lower=True)
+    for s in cases + ["Mixed CASE Wörds Straße ÄÖÜ É 3.14 John's"]:
+        plain = std(s)
+        lowered = std_lower(s)
+        assert [(t.text.lower(), t.begin, t.end) for t in plain] == list(lowered), s

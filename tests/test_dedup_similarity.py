@@ -221,10 +221,15 @@ def test_lsh_bucket_cap_bounds_identical_doc_blowup(spark):
     # star pairs: every non-anchor doc paired with anchor 0, nothing else
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, i) for i in range(1, 1000)}
 
-    # structural guard: no oversized bucket reaches the self-join — the
-    # join side is filtered on the windowed per-bucket count
+    # structural guard (r21 grouped-pairs shape): the capped candidate
+    # path has NO join at all — pairs are generated per (band, bucket)
+    # group from a collect_list'd id array, with the cap applied as a
+    # CASE on the array size (all-pairs vs star). An oversized bucket
+    # therefore CANNOT reach any quadratic join-side by construction.
     plan = cands._jdf.queryExecution().optimizedPlan().toString()
-    assert "_cnt" in plan
+    assert "Join" not in plan
+    assert "collect_list" in plan and "array_sort" in plan
+    assert "100" in plan  # the cap literal gates the pair expression
 
     # end-to-end: verified pairs all jaccard 1.0; one component
     verified = minhash_lsh_verified(docs, bucket_cap=100)
