@@ -34,12 +34,13 @@ class FieldProgram:
     """All queries sharing one analysis config (== one Lucene field,
     monitor.clj:48-59), with two complementary pruning structures:
 
-    - exact_index: terms-tuple -> query indexes, for slop-0 non-fuzzy
-      phrase queries (the overwhelming majority of real dictionaries).
-      Matching is a direct n-gram window probe over the document —
-      O(doc_tokens x distinct phrase lengths), independent of
-      dictionary size. This subsumes Lucene's presearcher for exact
-      phrases (stronger: zero false candidates).
+    - exact_index: per phrase length, a first-term-keyed (nested for
+      n>1) table of slop-0 non-fuzzy phrase queries (the overwhelming
+      majority of real dictionaries). Matching is a direct n-gram
+      window probe over the document — O(doc_tokens x distinct phrase
+      lengths), independent of dictionary size; a position whose token
+      starts no phrase costs a single dict miss. This subsumes Lucene's
+      presearcher for exact phrases (stronger: zero false candidates).
     - postings/required counter prefilter for the general queries
       (slop/ordered), Lucene-Monitor-style; fuzzy queries bypass it
       (`always`) since exact term presence can't prune them.
@@ -47,8 +48,8 @@ class FieldProgram:
 
     conf: AnalysisConfig
     queries: list[CompiledQuery] = field(default_factory=list)
-    exact_index: dict = field(default_factory=dict)  # {n: {joined terms -> emits}}
-    first_terms: dict = field(default_factory=dict)  # {n>1: frozenset of first terms}
+    # {1: {term -> emits}}; {n>1: {first term -> {joined REST -> emits}}}
+    exact_index: dict = field(default_factory=dict)
     ngram_lengths: tuple = ()
     n_exact: int = 0
     general: list = field(default_factory=list)  # query idxs needing verify
@@ -84,18 +85,22 @@ class FieldProgram:
                 continue
             keep.append(q)
         self.queries = keep
-        self.exact_index = {
-            n: {k: tuple(v) for k, v in table.items()} for n, table in exact.items()
-        }
-        # first-token gate for the n>1 window probe: a position whose
-        # token isn't the first term of ANY n-phrase can't start a match,
-        # so the (allocating) window join + table probe is skipped — on
-        # mostly-non-matching dictionaries this is the common case.
-        self.first_terms = {
-            n: frozenset(key.split("\x00", 1)[0] for key in table)
-            for n, table in self.exact_index.items()
-            if n > 1
-        }
+        # n==1: flat term -> emits. n>1: NESTED first term -> {joined
+        # REST terms -> emits}: a position whose token isn't the first
+        # term of ANY n-phrase costs ONE dict miss (no window-join
+        # allocation, no big-table probe) — on mostly-non-matching
+        # dictionaries that is the overwhelming case; a hit pays a
+        # second lookup keyed by the (n-1)-term rest join.
+        self.exact_index = {}
+        for n, table in exact.items():
+            if n == 1:
+                self.exact_index[1] = {k: tuple(v) for k, v in table.items()}
+                continue
+            nested: dict = {}
+            for key, emits in table.items():
+                first, rest = key.split("\x00", 1)
+                nested.setdefault(first, {})[rest] = tuple(emits)
+            self.exact_index[n] = nested
         self.ngram_lengths = tuple(sorted(exact))
         self.n_exact = sum(len(v) for t in exact.values() for v in t.values())
 
@@ -148,13 +153,12 @@ class FieldProgram:
                             out.append((e, pos, pos))
             elif n <= n_tok:
                 join = "\x00".join
-                firsts = getattr(self, "first_terms", {}).get(n)
-                if firsts is None:  # program compiled before the gate existed
-                    firsts = frozenset(key.split("\x00", 1)[0] for key in table)
+                get_first = table.get
                 for pos in range(n_tok - n + 1):
-                    if texts[pos] not in firsts:
+                    sub = get_first(texts[pos])
+                    if sub is None:
                         continue
-                    emits = table.get(join(texts[pos : pos + n]))
+                    emits = sub.get(join(texts[pos + 1 : pos + n]))
                     if emits:
                         for e in emits:
                             out.append((e, pos, pos + n - 1))
