@@ -9,7 +9,7 @@ identically-rounded ratios, md5 on identical normalized strings).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Tiny multilingual stopword sets for the n-gram/stopword language
@@ -139,15 +139,16 @@ def repetition_stats(
         )
         return grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
 
-    w2 = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.desc("gram"))
-    top2 = (
-        gram_counts(2)
-        .withColumn("_rn", F.row_number().over(w2))
-        .where(F.col("_rn") == 1)
-        .select(
-            F.col(id_col),
-            (F.col("cnt") * F.length("gram")).alias("_top2_chars"),
-        )
+    # top 2-gram per doc via max_by instead of a row_number window: the
+    # (cnt, gram) struct max reproduces the (cnt DESC, gram DESC) tie
+    # order exactly — (id, gram) rows are unique so no residual ties.
+    # (Struct max_by still plans as SortAggregate, but the Window
+    # buffer + rn filter are gone and the partial agg shrinks shuffle
+    # input to one row per doc per map partition.)
+    top2 = gram_counts(2).groupBy(id_col).agg(
+        F.max_by(
+            F.col("cnt") * F.length("gram"), F.struct("cnt", "gram")
+        ).alias("_top2_chars")
     )
     dup5 = (
         gram_counts(5)
