@@ -742,7 +742,10 @@ def simhash_fingerprints_md5(
 
 
 def simhash_pairs(
-    fps: DataFrame, max_hamming: int = 8, bucket_cap: int | None = None
+    fps: DataFrame,
+    max_hamming: int = 8,
+    bucket_cap: int | None = None,
+    materialize_fps: bool = False,
 ) -> DataFrame:
     """Consume simhash band keys: docs sharing ANY exact band are
     candidates (equi-join on (band_idx, band_val) — never all-pairs),
@@ -770,7 +773,20 @@ def simhash_pairs(
     at corpus scale both sides ARE the corpus, so merge is the right
     strategy anyway. Per-pair dedup happens AFTER the cheap hamming
     verify, as a min-aggregate (hamming is pair-functional, so the
-    value is unchanged)."""
+    value is unchanged).
+
+    ``materialize_fps=True`` eagerly localCheckpoints ``fps`` before
+    banding (the :func:`minhash_lsh_verified` pattern): a
+    nondeterministic-UDF fingerprint subtree cannot be exchange-reused
+    across the self-join's two sides, so without it the Python kernel
+    still runs twice per corpus. The checkpointed relation is
+    (id, simhash, bands) — a few dozen bytes/doc, tiny next to
+    re-hashing every token — and both join sides then scan the same
+    stored partitions, so the kernel runs exactly ONCE. Per-invocation
+    only (a fresh call builds a fresh RDD; nothing survives the run).
+    Default False to keep the operator lazy/composable."""
+    if materialize_fps:
+        fps = fps.localCheckpoint(eager=True)
     banded = fps.select(
         "id", "simhash", F.posexplode("bands").alias("band", "bucket")
     )

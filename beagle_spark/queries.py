@@ -404,7 +404,7 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) <= 8, all JVM-side. Oracle mirrors banding + verify
     declaratively over the same md5-nibble fingerprints."""
     fps = dedup.simhash_fingerprints_md5(_docs_dedup(spark, sf_dir))
-    pairs = dedup.simhash_pairs(fps, max_hamming=8)
+    pairs = dedup.simhash_pairs(fps, max_hamming=8, materialize_fps=True)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     ).orderBy("id_a", "id_b")

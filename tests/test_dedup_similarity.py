@@ -272,3 +272,21 @@ def test_simhash_pairs_banding_recall(spark, docs):
     assert got8 <= brute8
     assert len(got8) > len(got3)  # banding finds real extra pairs here
     fps.unpersist()
+
+
+def test_simhash_pairs_materialize_fps_identical_single_python_pass(spark, docs):
+    """materialize_fps=True must not change a single pair, and the
+    returned plan must contain NO Python eval node: the fingerprint
+    kernel ran exactly once, inside the eager localCheckpoint, instead
+    of once per self-join side (nondeterministic subtrees are never
+    exchange-reused)."""
+    fps = dedup.simhash_fingerprints_md5(docs)
+    lazy = dedup.simhash_pairs(fps, max_hamming=8)
+    mat = dedup.simhash_pairs(fps, max_hamming=8, materialize_fps=True)
+    key = lambda r: (r.id_a, r.id_b, r.hamming)
+    assert sorted(map(key, mat.collect())) == sorted(map(key, lazy.collect()))
+    plan = mat._sc._jvm.PythonSQLUtils.explainString(
+        mat._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan  # no ArrowEvalPython/BatchEvalPython
+    assert "ExistingRDD" in plan  # both join sides scan the checkpoint
