@@ -246,10 +246,22 @@ def main():
             run_query(REGISTRY[name][0], spark, SF_DIR)()
         except Exception:
             pass
+    # The dedup family + q12 have shown 2-6.7x pass-to-pass swings on
+    # frozen code across rounds (VERDICT r15-r20 hygiene item): give
+    # them a THIRD timed pass so their reported min is readable across
+    # rounds. Additive only — passes 1-2 are unchanged and kept
+    # per-pass in bench_detail.json, so the old min-of-2 statistic
+    # remains recoverable for cross-round comparison.
+    noisy_queries = {
+        "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_simhash_pairs",
+        "dd_clusters", "dd_embed_neardup", "q12_value_quantiles",
+    }
     pass_times: list[dict[str, float]] = []
-    for p in (1, 2):
+    for p in (1, 2, 3):
         times: dict[str, float] = {}
         for name in bench_queries:
+            if p > 2 and name not in noisy_queries:
+                continue
             fn, _sql = REGISTRY[name]
             if p > 1 and pass_times[0].get(name, 0) > 60:
                 times[name] = pass_times[0][name]  # too slow to repeat
@@ -273,9 +285,11 @@ def main():
     for name in bench_queries:
         samples = [t[name] for t in pass_times if t.get(name, -1.0) >= 0]
         results[name] = round(min(samples), 3) if samples else -1.0
-        if len(samples) == 2 and min(samples) > 0 and max(samples) > 2 * min(samples):
+        if len(samples) >= 2 and min(samples) > 0 and max(samples) > 2 * min(samples):
             unstable.append(name)
-        per_pass = ", ".join(f"{t.get(name, -1.0):.2f}" for t in pass_times)
+        per_pass = ", ".join(
+            f"{t[name]:.2f}" for t in pass_times if name in t
+        )
         log(f"{name}: {results[name]}s (passes: {per_pass})")
     if unstable:
         log(f"unstable (>2x between passes, deltas unreliable): {unstable}")
