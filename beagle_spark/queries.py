@@ -510,7 +510,10 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash check covers exactly the bucket-restricted semantics)."""
     return (
         similarity.lsh_cosine_pairs(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.4, dim=64
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=0.4,
+            dim=64,
+            materialize_buckets=True,
         )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
@@ -538,9 +541,9 @@ def dd_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles. Oracle: deterministic baked-plane bucketing + recursive
     CTE."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = similarity.lsh_cosine_pairs(emb, threshold=0.4, dim=64).select(
-        "id_a", "id_b"
-    )
+    pairs = similarity.lsh_cosine_pairs(
+        emb, threshold=0.4, dim=64, materialize_buckets=True
+    ).select("id_a", "id_b")
     return dedup.dedup_clusters(emb, pairs, id_col="vec_id").orderBy("vec_id")
 
 

@@ -8,7 +8,8 @@ script):
   {"metric": "suite_total", "value": <total sec>, "unit": "sec",
    "queries": {name: min-of-2 sec, ...}, "sf": ...,
    "annotate": {"5k"|"80k"|"steady_1m": docs_per_sec},
-   "unstable": [names whose two passes differ >2x]}
+   "unstable": [names whose two passes differ >2x],
+   "sentinel": [fixed JVM-canary secs: pre-annotate + one per pass]}
 
 The annotate benchmark mirrors the reference's published setup
 (BASELINE.md): dictionary sizes 5k and 80k phrases, mostly-non-matching
@@ -76,6 +77,21 @@ def timed(fn):
     return time.monotonic() - t0, n
 
 
+def sentinel_sec(spark) -> float:
+    """Load sentinel (VERDICT r21 item 3): a fixed-cost JVM-only canary
+    (500M xxhash64 + sum, no I/O, no Python) timed like a query. Its
+    wall time moves only with box contention/CPU state, never with this
+    repo's code, so cross-round deltas can be normalized against it (or
+    a contaminated window discarded mechanically)."""
+    t0 = time.monotonic()
+    # sum in DOUBLE: ansi=true (Spark 4 default) makes a LONG sum of
+    # 500M full-range hashes throw ARITHMETIC_OVERFLOW
+    spark.range(500_000_000).selectExpr(
+        "sum(cast(xxhash64(id) AS double)) AS s"
+    ).collect()
+    return round(time.monotonic() - t0, 3)
+
+
 def run_query(fn, spark, sf_dir):
     """Build AND execute under the timer: some pipelines (e.g.
     minhash_lsh_verified) materialize eagerly at construction time, so
@@ -106,6 +122,8 @@ def main():
 
     results: dict[str, float] = {}
     extra: dict = {}
+    sentinels: list[float] = [sentinel_sec(spark)]  # one before the probes
+    log(f"load sentinel (pre-annotate): {sentinels[0]}s")
 
     # Partition sizing for the Python-UDF annotate path: keep >= ~500
     # docs per task so Arrow/worker per-batch overhead amortizes (the
@@ -258,6 +276,9 @@ def main():
     }
     pass_times: list[dict[str, float]] = []
     for p in (1, 2, 3):
+        # canary before every timed pass (additive; queries unchanged)
+        sentinels.append(sentinel_sec(spark))
+        log(f"load sentinel (pass {p}): {sentinels[-1]}s")
         times: dict[str, float] = {}
         for name in bench_queries:
             if p > 2 and name not in noisy_queries:
@@ -311,6 +332,7 @@ def main():
         "n_docs": n_docs,
         "cpus": int(CPUS),
         "unstable": unstable,
+        "sentinel": sentinels,
         **extra,
     }
     detail_path = os.path.join(
@@ -337,13 +359,14 @@ def main():
         "cpus": int(CPUS),
         "annotate": compact_annotate,
         "unstable": unstable,
+        "sentinel": sentinels,
     }
     line = json.dumps(payload, separators=(",", ":"))
     # The driver tail-captures ~2000 chars of stdout; if the compact line
     # ever outgrows the budget, progressively drop optional fields rather
     # than suppressing the summary entirely (a hard assert here once risked
     # zeroing a whole round's bench record).
-    for drop in ("unstable", "annotate", "queries"):
+    for drop in ("sentinel", "unstable", "annotate", "queries"):
         if len(line) < 1500:
             break
         log(f"bench line too long ({len(line)} chars); dropping '{drop}' "

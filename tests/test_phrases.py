@@ -426,3 +426,19 @@ def test_synonym_optimization_counts():  # dictionary_optimization_test.clj:syno
     )("this is a beagle text test luwak1")
     assert len(anns) == 3
     assert {a["dict_entry_id"] for a in anns} == {"1"}
+
+
+def test_nul_byte_in_first_phrase_term_matches():
+    """Regression (r22, ADVICE r21): a multi-term phrase whose FIRST
+    term contains a NUL byte (possible under the whitespace/keyword
+    tokenizers, whose tokens aren't restricted to alnum) used to be
+    silently truncated by the exact-index key round-trip
+    (join('\\x00').split('\\x00', 1)) and never matched. The index is
+    now keyed on term tuples directly."""
+    from beagle_spark.annotator import highlighter
+
+    hl = highlighter(
+        [{"text": "a\x00b second", "id": "nul"}], {"tokenizer": "whitespace"}
+    )
+    anns = hl("prefix a\x00b second suffix")
+    assert [a["dict_entry_id"] for a in anns] == ["nul"]
